@@ -1,0 +1,22 @@
+import os
+import sys
+
+# Run the test suite on a virtual 8-device CPU mesh so multi-chip sharding
+# logic is exercised without TPU hardware.  Must be set before importing jax.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _fresh_uid():
+    """Reset the graph uid counter between tests for reproducible ids."""
+    from feynmandiagram_tpu.computational_graph import uid_reset
+    uid_reset()
+    yield
