@@ -1,0 +1,292 @@
+"""Lowering: symbolic Graph DAG -> flat, level-scheduled array-form IR.
+
+This replaces the reference's source-code compiler
+(/root/reference/src/backend/static.jl) with a TPU-first design: instead of
+emitting one scalar expression per node evaluated once per Monte-Carlo
+sample, the DAG is flattened to numpy arrays grouped by topological level
+and node kind, so each level evaluates as a few batched vector ops
+(gather-multiply + segment-sum) over the whole MC sample tensor under
+``jax.jit`` (see ``feynmandiagram_tpu.ops.evaluator``).
+
+Layout
+------
+- node slots 0..L-1: unique leaves (deduplicated by uid, ordered by the
+  caller's leafmap when given) — filled from the leaf-value input
+- constant (Unitary) leaves are recorded in ``const_slots``/``const_values``
+  and filled by the evaluator
+- internal nodes are assigned contiguous slot ranges per (level, kind)
+  so each level writes a few dynamic-update-slices:
+  * Sum nodes   -> CSR edge list (sorted by destination): segment-sum
+  * Prod nodes  -> per-arity index matrices: fused gather-multiply
+  * Power nodes -> per-exponent source lists: integer_pow
+- Prod nodes with fan-in > MAX_PROD_ARITY are binarized into balanced
+  intermediate nodes during lowering (static shapes, better VPU utilization)
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..computational_graph.graph import Graph
+
+MAX_PROD_ARITY = 4
+
+
+@dataclass
+class _Rec:
+    """Internal lightweight node record during lowering."""
+    op: str                  # 'leaf' | 'const' | 'sum' | 'prod' | 'power'
+    children: List[int]      # indices into the record table
+    factors: List[float]
+    power: int = 0
+    value: float = 0.0       # for 'const'
+    uid: int = -1            # graph uid (leaves)
+
+
+@dataclass
+class SumPlan:
+    start: int               # first destination slot
+    count: int               # number of sum nodes in this level
+    edge_src: np.ndarray     # [E] int32 source slots
+    edge_factor: np.ndarray  # [E] float factors
+    edge_seg: np.ndarray     # [E] int32 destination index relative to start (sorted)
+
+
+@dataclass
+class ProdPlan:
+    arity: int
+    start: int
+    count: int
+    idx: np.ndarray          # [arity, count] int32 source slots
+    factor: np.ndarray       # [count] product of subgraph factors
+
+
+@dataclass
+class PowerPlan:
+    n: int
+    start: int
+    count: int
+    src: np.ndarray          # [count] int32
+    factor: np.ndarray       # [count]
+
+
+@dataclass
+class LevelPlan:
+    sums: Optional[SumPlan]
+    prods: List[ProdPlan]
+    pows: List[PowerPlan]
+
+
+@dataclass
+class LoweredGraph:
+    num_slots: int
+    num_leaves: int          # leaf slots (including constants)
+    levels: List[LevelPlan]
+    root_slots: np.ndarray   # [num_roots] int32
+    leaf_uid_to_slot: Dict[int, int]
+    const_slots: np.ndarray  # [num_consts] int32 (subset of leaf slots)
+    const_values: np.ndarray
+    # diagnostics
+    num_edges: int = 0
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.levels)
+
+
+def lower(roots: Sequence[Graph], leafmap: Optional[Dict[int, int]] = None,
+          dtype=np.float64) -> LoweredGraph:
+    """Lower root graphs into a LoweredGraph.
+
+    ``leafmap`` maps leaf uid -> leaf-value index; when given, leaf slot k
+    holds the leaf with ``leafmap[uid] == k``.  When absent, leaves are
+    numbered in first-visit order (stable across calls on the same DAG).
+    """
+    # ---- collect records (object-identity traversal; leaves dedup by uid)
+    recs: List[_Rec] = []
+    obj_to_rec: Dict[int, int] = {}
+    leaf_uid_rec: Dict[int, int] = {}
+
+    def visit(g: Graph) -> int:
+        key = id(g)
+        if key in obj_to_rec:
+            return obj_to_rec[key]
+        if g.isleaf():
+            if g.operator.kind == "unitary":
+                r = len(recs)
+                recs.append(_Rec("const", [], [], value=g.weight, uid=g.id))
+            elif g.id in leaf_uid_rec:
+                r = leaf_uid_rec[g.id]
+            else:
+                r = len(recs)
+                recs.append(_Rec("leaf", [], [], uid=g.id))
+                leaf_uid_rec[g.id] = r
+            obj_to_rec[key] = r
+            return r
+        children = [visit(s) for s in g.subgraphs]
+        factors = [float(f) for f in g.subgraph_factors]
+        op = g.operator.kind
+        r = len(recs)
+        if op == "sum":
+            recs.append(_Rec("sum", children, factors))
+        elif op == "prod":
+            recs.append(_Rec("prod", children, factors))
+        elif op == "power":
+            recs.append(_Rec("power", children, factors, power=g.operator.n))
+        else:
+            raise ValueError(f"cannot lower operator {g.operator}")
+        obj_to_rec[key] = r
+        return r
+
+    # iterative wrapper to avoid Python recursion limits on deep DAGs
+    import sys
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, 1000000))
+    try:
+        root_recs = [visit(g) for g in roots]
+    finally:
+        sys.setrecursionlimit(old_limit)
+
+    # ---- binarize wide prods
+    def binarize(r_idx: int) -> None:
+        rec = recs[r_idx]
+        while rec.op == "prod" and len(rec.children) > MAX_PROD_ARITY:
+            new_children: List[int] = []
+            new_factors: List[float] = []
+            it = list(zip(rec.children, rec.factors))
+            for i in range(0, len(it), 2):
+                chunk = it[i:i + 2]
+                if len(chunk) == 1:
+                    new_children.append(chunk[0][0])
+                    new_factors.append(chunk[0][1])
+                else:
+                    sub = len(recs)
+                    recs.append(_Rec("prod", [c for c, _ in chunk], [f for _, f in chunk]))
+                    new_children.append(sub)
+                    new_factors.append(1.0)
+            rec.children = new_children
+            rec.factors = new_factors
+
+    for i in range(len(recs)):
+        binarize(i)
+
+    # ---- depth (level) computation, iterative topological
+    depth = [0] * len(recs)
+    state = [0] * len(recs)  # 0=unvisited, 1=done
+    for start_i in range(len(recs)):
+        if state[start_i]:
+            continue
+        stack = [(start_i, False)]
+        while stack:
+            i, expanded = stack.pop()
+            if expanded:
+                rec = recs[i]
+                depth[i] = 0 if not rec.children else 1 + max(depth[c] for c in rec.children)
+                state[i] = 1
+                continue
+            if state[i]:
+                continue
+            stack.append((i, True))
+            for c in recs[i].children:
+                if not state[c]:
+                    stack.append((c, False))
+
+    # ---- slot assignment
+    leaf_recs = [i for i, r in enumerate(recs) if r.op == "leaf"]
+    const_recs = [i for i, r in enumerate(recs) if r.op == "const"]
+    if leafmap is not None:
+        for i in leaf_recs:
+            if recs[i].uid not in leafmap:
+                raise KeyError(f"leaf uid {recs[i].uid} missing from leafmap")
+        leaf_recs.sort(key=lambda i: leafmap[recs[i].uid])
+        slots_used = {leafmap[recs[i].uid] for i in leaf_recs}
+        if slots_used != set(range(len(leaf_recs))):
+            raise ValueError("leafmap indices must be 0..num_leaves-1 and unique")
+    slot_of = {}
+    for k, i in enumerate(leaf_recs):
+        slot_of[i] = k
+    nl = len(leaf_recs)
+    for k, i in enumerate(const_recs):
+        slot_of[i] = nl + k
+    num_leaf_slots = nl + len(const_recs)
+
+    max_depth = max(depth) if recs else 0
+    levels: List[LevelPlan] = []
+    next_slot = num_leaf_slots
+    num_edges = 0
+
+    for lev in range(1, max_depth + 1):
+        nodes = [i for i, r in enumerate(recs) if depth[i] == lev and r.op in ("sum", "prod", "power")]
+        sums = [i for i in nodes if recs[i].op == "sum"]
+        prods_by_arity: Dict[int, List[int]] = {}
+        pows_by_n: Dict[int, List[int]] = {}
+        for i in nodes:
+            r = recs[i]
+            if r.op == "prod":
+                prods_by_arity.setdefault(len(r.children), []).append(i)
+            elif r.op == "power":
+                pows_by_n.setdefault(r.power, []).append(i)
+
+        sum_plan = None
+        if sums:
+            start = next_slot
+            for k, i in enumerate(sums):
+                slot_of[i] = start + k
+            next_slot += len(sums)
+            edge_src, edge_factor, edge_seg = [], [], []
+            for k, i in enumerate(sums):
+                r = recs[i]
+                for c, f in zip(r.children, r.factors):
+                    edge_src.append(slot_of[c])
+                    edge_factor.append(f)
+                    edge_seg.append(k)
+            num_edges += len(edge_src)
+            sum_plan = SumPlan(start, len(sums),
+                               np.asarray(edge_src, np.int32),
+                               np.asarray(edge_factor, dtype),
+                               np.asarray(edge_seg, np.int32))
+
+        prod_plans: List[ProdPlan] = []
+        for arity in sorted(prods_by_arity):
+            group = prods_by_arity[arity]
+            start = next_slot
+            for k, i in enumerate(group):
+                slot_of[i] = start + k
+            next_slot += len(group)
+            idx = np.zeros((arity, len(group)), np.int32)
+            fac = np.ones(len(group), dtype)
+            for k, i in enumerate(group):
+                r = recs[i]
+                for a, (c, f) in enumerate(zip(r.children, r.factors)):
+                    idx[a, k] = slot_of[c]
+                    fac[k] *= f
+            num_edges += arity * len(group)
+            prod_plans.append(ProdPlan(arity, start, len(group), idx, fac))
+
+        pow_plans: List[PowerPlan] = []
+        for n in sorted(pows_by_n):
+            group = pows_by_n[n]
+            start = next_slot
+            for k, i in enumerate(group):
+                slot_of[i] = start + k
+            next_slot += len(group)
+            src = np.asarray([slot_of[recs[i].children[0]] for i in group], np.int32)
+            fac = np.asarray([recs[i].factors[0] for i in group], dtype)
+            num_edges += len(group)
+            pow_plans.append(PowerPlan(n, start, len(group), src, fac))
+
+        levels.append(LevelPlan(sum_plan, prod_plans, pow_plans))
+
+    leaf_uid_to_slot = {recs[i].uid: slot_of[i] for i in leaf_recs}
+    return LoweredGraph(
+        num_slots=next_slot,
+        num_leaves=num_leaf_slots,
+        levels=levels,
+        root_slots=np.asarray([slot_of[r] for r in root_recs], np.int32),
+        leaf_uid_to_slot=leaf_uid_to_slot,
+        const_slots=np.asarray([slot_of[i] for i in const_recs], np.int32),
+        const_values=np.asarray([recs[i].value for i in const_recs], dtype),
+        num_edges=num_edges,
+    )

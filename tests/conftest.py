@@ -3,11 +3,19 @@ import sys
 
 # Run the test suite on a virtual 8-device CPU mesh so multi-chip sharding
 # logic is exercised without TPU hardware.  Must be set before importing jax.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("JAX_ENABLE_X64", "1")
+os.environ["JAX_ENABLE_X64"] = "1"
+
+# The container's sitecustomize imports jax at interpreter startup (to
+# register the axon TPU plugin), so env vars above are too late for the
+# already-cached config — override via jax.config as well.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -1,0 +1,123 @@
+"""Lowering + batched evaluator equivalence vs the interpreted host eval.
+
+Oracle strategy per SURVEY.md §7.2 step 2: random DAGs, leaf==1 counts, and
+batched evaluation must agree with ``eval_graph`` to float tolerance.
+"""
+import random
+
+import numpy as np
+import pytest
+
+from feynmandiagram_tpu.computational_graph import (
+    Graph, SUM, PROD, Power, constant_graph, eval_graph, optimize,
+)
+from feynmandiagram_tpu.ops import lower, make_evaluator, evaluate_graphs
+
+
+def random_dag(rng, leaves, depth=5, fan=3):
+    if depth == 0 or rng.random() < 0.25:
+        return rng.choice(leaves)
+    kind = rng.random()
+    if kind < 0.45:
+        n = rng.randint(1, fan)
+        subs = [random_dag(rng, leaves, depth - 1, fan) for _ in range(n)]
+        facs = [rng.choice([1.0, 2.0, -1.5, 0.5]) for _ in range(n)]
+        return Graph(subs, subgraph_factors=facs, operator=SUM)
+    if kind < 0.85:
+        n = rng.randint(2, fan + 3)  # wide prods exercise binarization
+        subs, facs, seen = [], [], set()
+        for _ in range(n):
+            s = random_dag(rng, leaves, depth - 1, fan)
+            if id(s) in seen:
+                continue
+            seen.add(id(s))
+            subs.append(s)
+            facs.append(rng.choice([1.0, -1.0, 0.5]))
+        return Graph(subs, subgraph_factors=facs, operator=PROD)
+    sub = random_dag(rng, leaves, depth - 1, fan)
+    return Graph([sub], subgraph_factors=[rng.choice([1.0, -2.0])],
+                 operator=Power(rng.randint(2, 4)))
+
+
+class TestLoweringEquivalence:
+    @pytest.mark.parametrize("seed", [1, 2, 3, 4])
+    def test_random_dag_matches_interpreter(self, seed):
+        rng = random.Random(seed)
+        leaves = [Graph([], properties=("leaf", i)) for i in range(6)]
+        roots = [random_dag(rng, leaves) for _ in range(3)]
+        leafmap = {leaf.id: i for i, leaf in enumerate(leaves)}
+        vals = [rng.uniform(0.5, 1.5) for _ in range(6)]
+        expected = [eval_graph(r, leafmap, vals) for r in roots]
+        got = evaluate_graphs(roots, np.asarray(vals), leafmap)
+        np.testing.assert_allclose(got[:, 0], expected, rtol=1e-10, atol=1e-9)
+
+    @pytest.mark.parametrize("seed", [5, 6])
+    def test_batched(self, seed):
+        rng = random.Random(seed)
+        leaves = [Graph([], properties=("leaf", i)) for i in range(4)]
+        roots = [random_dag(rng, leaves, depth=4) for _ in range(2)]
+        leafmap = {leaf.id: i for i, leaf in enumerate(leaves)}
+        batch = 7
+        vals = np.array([[rng.uniform(0.5, 1.5) for _ in range(batch)] for _ in range(4)])
+        got = evaluate_graphs(roots, vals, leafmap)
+        for b in range(batch):
+            expected = [eval_graph(r, leafmap, list(vals[:, b])) for r in roots]
+            np.testing.assert_allclose(got[:, b], expected, rtol=1e-10, atol=1e-9)
+
+    def test_constants_and_leaf_roots(self):
+        g1 = Graph([], properties="x")
+        c = constant_graph(5.0)
+        s = Graph([g1, c], subgraph_factors=[2.0, 3.0], operator=SUM)
+        leafmap = {g1.id: 0}
+        got = evaluate_graphs([s, g1], np.asarray([7.0]), leafmap)
+        assert got[0, 0] == pytest.approx(2 * 7 + 3 * 5)
+        assert got[1, 0] == pytest.approx(7.0)
+
+    def test_power_negative_base(self):
+        g1 = Graph([], properties="x")
+        p = Graph([g1], subgraph_factors=[2.0], operator=Power(3))
+        got = evaluate_graphs([p], np.asarray([-1.5]), {g1.id: 0})
+        assert got[0, 0] == pytest.approx(2.0 * (-1.5) ** 3)
+
+    def test_after_optimize(self):
+        rng = random.Random(11)
+        leaves = [Graph([], properties=("leaf", i)) for i in range(5)]
+        roots = [random_dag(rng, leaves) for _ in range(3)]
+        leafmap = {leaf.id: i for i, leaf in enumerate(leaves)}
+        vals = [rng.uniform(0.5, 1.5) for _ in range(5)]
+        expected = [eval_graph(r, leafmap, vals) for r in roots]
+        roots_op = optimize(roots, level=1)
+        got = evaluate_graphs(roots_op, np.asarray(vals), leafmap)
+        np.testing.assert_allclose(got[:, 0], expected, rtol=1e-10, atol=1e-9)
+
+    def test_shared_subgraph_evaluated_once(self):
+        x = Graph([], properties="x")
+        shared = Graph([x], subgraph_factors=[3.0], operator=Power(2))
+        a = Graph([shared, x], operator=PROD)
+        b = Graph([shared, shared], subgraph_factors=[1.0, 2.0], operator=SUM)
+        lowered = lower([a, b], {x.id: 0})
+        # slots: x, shared, a, b -> shared appears once
+        assert lowered.num_slots == 4
+        f = make_evaluator(lowered)
+        out = np.asarray(f(np.asarray([2.0])))
+        assert out[0, 0] == pytest.approx(3 * 4 * 2)
+        assert out[1, 0] == pytest.approx(3 * 12.0)
+
+    def test_wide_prod_binarization(self):
+        leaves = [Graph([], properties=i) for i in range(9)]
+        p = Graph(leaves, subgraph_factors=[1.0 + i * 0.1 for i in range(9)],
+                  operator=PROD)
+        leafmap = {leaf.id: i for i, leaf in enumerate(leaves)}
+        vals = [1.0 + 0.05 * i for i in range(9)]
+        expected = eval_graph(p, leafmap, vals)
+        got = evaluate_graphs([p], np.asarray(vals), leafmap)
+        assert got[0, 0] == pytest.approx(expected)
+
+    def test_diagram_count_convention(self):
+        # leaves == 1 evaluation gives diagram counts (eval.jl default)
+        leaves = [Graph([], properties=i) for i in range(3)]
+        s = Graph(leaves, subgraph_factors=[1, 1, 1], operator=SUM)
+        lowered = lower([s])
+        f = make_evaluator(lowered)
+        out = np.asarray(f(np.ones((3, 1))))
+        assert out[0, 0] == 3.0
