@@ -1,0 +1,165 @@
+"""Parquet front-end tests: diagram-count oracles and filter semantics.
+
+Transcribed from /root/reference/test/front_end.jl:185-219, 600-824.
+Evaluation with all leaves == 1 must reproduce the closed-form diagram
+counts of arXiv:cond-mat/0512342.
+"""
+import numpy as np
+import pytest
+
+from feynmandiagram_tpu.computational_graph import eval_graph
+from feynmandiagram_tpu.frontends import (Filter, NoHartree, NoFock, Girreducible,
+                                          Proper, ChargeCharge, Instant, UpUp)
+from feynmandiagram_tpu.frontends.parquet import (
+    DiagPara, Interaction, ParquetBlocks, SigmaDiag, GreenDiag, PolarDiag,
+    Ver3Diag, Ver4Diag, ordered_partition, find_first_loop_idx,
+    find_first_tau_idx, sigma, green, vertex3, polarization, mergeby,
+    is_valid_g, is_valid_sigma, benchmark,
+)
+from feynmandiagram_tpu.ops import evaluate_graphs, lower, make_evaluator
+
+
+class TestBookkeeping:
+    def test_ordered_partition(self):
+        parts = ordered_partition(5, 2)
+        assert sorted(map(tuple, parts)) == [(1, 4), (2, 3), (3, 2), (4, 1)]
+        parts0 = ordered_partition(3, 2, 0)
+        assert sorted(map(tuple, parts0)) == [(0, 3), (1, 2), (2, 1), (3, 0)]
+
+    def test_find_first_loop_idx(self):
+        assert find_first_loop_idx([1, 1, 2, 1], 1) == ([1, 2, 3, 5], 5)
+        assert find_first_loop_idx([1, 0, 2, 0], 1) == ([1, 2, 2, 4], 3)
+
+    def test_find_first_tau_idx(self):
+        types = [Ver4Diag, GreenDiag, Ver4Diag, GreenDiag]
+        assert find_first_tau_idx([1, 1, 2, 1], types, 1, 1) == ([1, 3, 4, 7], 7)
+        assert find_first_tau_idx([1, 0, 2, 0], types, 1, 1) == ([1, 3, 3, 6], 5)
+
+
+class TestFilters:
+    def test_is_valid_g(self):
+        assert is_valid_g([NoFock, NoHartree], 1) is False
+        assert is_valid_g([NoFock], 1) is True
+        assert is_valid_g([Girreducible], 1) is False
+        assert is_valid_g([Girreducible], 0) is True
+        assert is_valid_g([], 2) is True
+
+    def test_is_valid_sigma(self):
+        assert is_valid_sigma([], 0, False) is False
+        assert is_valid_sigma([Girreducible], 1, True) is False
+        assert is_valid_sigma([Girreducible], 1, False) is True
+        assert is_valid_sigma([NoFock, NoHartree], 1, True) is False
+        assert is_valid_sigma([NoFock, NoHartree], 1, False) is True
+        assert is_valid_sigma([], 2, True) is True
+
+
+def _sigma_para(loop_num, spin=2, filter=(NoHartree, Girreducible)):
+    return DiagPara(type=SigmaDiag, hasTau=True, innerLoopNum=loop_num,
+                    totalLoopNum=loop_num + 1, totalTauNum=loop_num,
+                    isFermi=False, spin=spin, firstLoopIdx=2, firstTauIdx=1,
+                    filter=tuple(filter),
+                    interaction=(Interaction(ChargeCharge, Instant),))
+
+
+class TestSigmaCounts:
+    @pytest.mark.parametrize("l", [1, 2, 3])
+    def test_sigma_G2v(self, l):
+        para = _sigma_para(l)
+        extK = np.zeros(para.totalLoopNum)
+        extK[0] = 1.0
+        df = sigma(para, extK, False)
+        merged = mergeby(df)
+        w = eval_graph(merged[0]["diagram"])
+        assert w * (-1) ** para.innerLoopNum == pytest.approx(
+            benchmark.count_sigma_G2v(l, para.spin))
+
+    @pytest.mark.parametrize("l", [1, 2, 3])
+    def test_sigma_G2v_tpu_eval(self, l):
+        """Same count via the lowered batched evaluator (leaf==1)."""
+        para = _sigma_para(l)
+        extK = np.zeros(para.totalLoopNum)
+        extK[0] = 1.0
+        df = sigma(para, extK, False)
+        merged = mergeby(df)
+        root = merged[0]["diagram"]
+        lowered = lower([root])
+        f = make_evaluator(lowered)
+        out = np.asarray(f(np.ones((lowered.num_leaves - len(lowered.const_slots), 1))))
+        assert out[0, 0] * (-1) ** l == pytest.approx(
+            benchmark.count_sigma_G2v(l, para.spin))
+
+
+class TestGreenFilters:
+    def _build_g(self, loop_num, ext_t, filter):
+        para = DiagPara(type=GreenDiag, hasTau=True, innerLoopNum=loop_num,
+                        isFermi=True, spin=2, filter=tuple(filter),
+                        interaction=(Interaction(ChargeCharge, Instant),))
+        extK = np.zeros(para.totalLoopNum)
+        extK[0] = 1.0
+        if is_valid_g(para):
+            return green(para, extK, ext_t)
+        return None
+
+    def test_girreducible(self):
+        assert self._build_g(0, (1, 2), [NoHartree, Girreducible]) is not None
+        assert self._build_g(1, (1, 2), [NoHartree, Girreducible]) is None
+        assert self._build_g(2, (1, 2), [NoHartree, Girreducible]) is None
+
+    def test_nofock(self):
+        assert self._build_g(0, (1, 2), [NoHartree, NoFock]) is not None
+        assert self._build_g(1, (1, 2), [NoHartree, NoFock]) is None
+        assert self._build_g(2, (1, 2), [NoHartree, NoFock]) is not None
+
+
+class TestVertex3Counts:
+    @pytest.mark.parametrize("l", [1, 2, 3])
+    def test_ver3_G2v(self, l):
+        para = DiagPara(type=Ver3Diag, innerLoopNum=l, isFermi=False, hasTau=True,
+                        filter=(NoHartree, Girreducible, Proper),
+                        interaction=(Interaction(ChargeCharge, Instant),))
+        K0 = np.zeros(para.totalLoopNum)
+        KinL, Q = K0.copy(), K0.copy()
+        Q[0] = 1
+        KinL[1] = 1
+        rows = vertex3(para, [Q, KinL])
+        merged = mergeby(rows)
+        w = eval_graph(merged[0]["diagram"])
+        assert w * (-1) ** l == pytest.approx(benchmark.count_ver3_G2v(l, para.spin))
+
+
+def _polar_rows(l, filter):
+    para = DiagPara(type=PolarDiag, innerLoopNum=l, isFermi=False, hasTau=True,
+                    filter=tuple(filter),
+                    interaction=(Interaction(ChargeCharge, Instant),))
+    Q = np.zeros(para.totalLoopNum)
+    Q[0] = 1
+    return para, polarization(para, Q)
+
+
+class TestPolarizationCounts:
+    def test_explicit_proper(self):
+        _polar_rows(1, [Proper, NoHartree, NoFock])
+
+    @pytest.mark.parametrize("l", [1, 2, 3, 4])
+    def test_polar_G2v(self, l):
+        para, rows = _polar_rows(l, [NoHartree, Girreducible])
+        merged = mergeby(rows)
+        w = eval_graph(merged[0]["diagram"])
+        assert w * para.spin * (-1) ** (l - 1) == pytest.approx(
+            benchmark.count_polar_G2v(l, para.spin))
+
+    @pytest.mark.parametrize("l", [1, 2, 3, 4])
+    def test_polar_g2v_noFock(self, l):
+        para, rows = _polar_rows(l, [NoHartree, NoFock])
+        merged = mergeby(rows)
+        w = eval_graph(merged[0]["diagram"])
+        assert w * para.spin * (-1) ** (l - 1) == pytest.approx(
+            benchmark.count_polar_g2v_noFock(l, para.spin))
+
+    @pytest.mark.parametrize("l", [1, 2, 3, 4])
+    def test_polar_g2v_noFock_upup(self, l):
+        para, rows = _polar_rows(l, [NoHartree, NoFock])
+        w = eval_graph(rows[0]["diagram"])  # first row is UpUp
+        assert rows[0]["response"] == UpUp
+        assert w * para.spin * (-1) ** (l - 1) == pytest.approx(
+            benchmark.count_polar_g2v_noFock_upup(l, para.spin))
