@@ -55,6 +55,8 @@ def taylorexpansion(graph: Graph,
 
 
 def _expand(graph: Graph, var_dependence, to_coeff_map) -> TaylorSeries:
+    from ..computational_graph.feynman_graph import FeynmanGraph
+
     if graph.id in to_coeff_map:
         return to_coeff_map[graph.id]
     if graph.isleaf():
@@ -63,11 +65,14 @@ def _expand(graph: Graph, var_dependence, to_coeff_map) -> TaylorSeries:
                   for idx in range(get_numvars())]
         import itertools
         result = TaylorSeries()
+        is_feynman = isinstance(graph, FeynmanGraph)
         for order in itertools.product(*ranges):
             o = tuple(order)
-            if sum(o) == 0:
+            if sum(o) == 0 and not is_feynman:
                 result.coeffs[o] = graph  # zeroth coefficient is the leaf itself
             else:
+                # FeynmanGraph leaves always get fresh Graph coefficients
+                # (utility.jl:147-165); Graph leaves only for nonzero orders
                 coeff = Graph([], operator=SUM, properties=graph.properties,
                               orders=list(o))
                 result.coeffs[o] = coeff
@@ -90,6 +95,25 @@ def taylorexpansion_graphs(graphs: Sequence[Graph], var_dependence=None, *,
         series, _ = taylorexpansion(g, var_dependence, to_coeff_map=to_coeff_map)
         result.append(series)
     return result, to_coeff_map
+
+
+def taylorexpansion_feynman(graphs: Sequence["Graph"],
+                            propagator_var: Tuple[List[bool], List[bool]], *,
+                            to_coeff_map=None):
+    """Variable dependence by propagator statistics for FeynmanGraphs:
+    fermionic propagators follow propagator_var[0], bosonic propagator_var[1]
+    (utility.jl:187-203)."""
+    from ..computational_graph.feynman_graph import DiagramType, diagram_type
+
+    var_dependence: Dict[int, List[bool]] = {}
+    for graph in graphs:
+        for leaf in graph.leaves():
+            if diagram_type(leaf) == DiagramType.PROPAGATOR:
+                fermionic = leaf.properties.vertices[0].isfermionic()
+                which = 0 if fermionic else 1
+                var_dependence[leaf.id] = [bool(propagator_var[which][i])
+                                           for i in range(get_numvars())]
+    return taylorexpansion_graphs(graphs, var_dependence, to_coeff_map=to_coeff_map)
 
 
 def taylorexpansion_by_leaftype(graphs: Sequence[Graph],

@@ -21,6 +21,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pytest
 
+# GV diagram tables: use the reference data files (a data contract, not code)
+# when present; self-generated tables take precedence via FDTPU_GV_TABLES.
+_REF_TABLES = "/root/reference/src/frontend/GV_diagrams"
+if "FDTPU_GV_TABLES" not in os.environ and os.path.isdir(_REF_TABLES):
+    os.environ["FDTPU_GV_TABLES"] = _REF_TABLES
+
 
 @pytest.fixture(autouse=True)
 def _fresh_uid():

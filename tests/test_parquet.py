@@ -62,8 +62,13 @@ def _sigma_para(loop_num, spin=2, filter=(NoHartree, Girreducible)):
 
 
 class TestSigmaCounts:
-    @pytest.mark.parametrize("l", [1, 2, 3])
+    @pytest.mark.parametrize("l", [1, 2, 3, 4])
     def test_sigma_G2v(self, l):
+        if l >= 4:  # order-4 needs the fully-irreducible vertex tables
+            from feynmandiagram_tpu.frontends.parquet.vertex4 import (
+                initialize_vertex4I_diags, get_ver4I)
+            if not get_ver4I():
+                initialize_vertex4I_diags()
         para = _sigma_para(l)
         extK = np.zeros(para.totalLoopNum)
         extK[0] = 1.0
