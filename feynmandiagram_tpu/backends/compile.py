@@ -1,0 +1,166 @@
+"""Back end: compile optimized graphs into one jitted batched TPU pipeline.
+
+The reference compiles the DAG to scalar source code (backend/static.jl) and
+evaluates leaves in a per-sample loop; here ``compile`` fuses the whole
+four-phase pipeline (leaf physics -> LoopPool matmul -> leveled graph
+evaluation) into a single ``jax.jit`` function over Monte-Carlo sample
+batches, ready for ``jax.sharding`` over the sample axis.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..computational_graph import Graph
+from ..ops.evaluator import make_evaluator
+from ..ops.leaf_eval import LeafTables, leaf_tables_from_lowered, make_leaf_evaluator
+from ..ops.lowering import LoweredGraph, lower
+
+
+def leafmap_of(roots: Sequence[Graph]) -> Dict[int, int]:
+    """Assign 0-based leaf-value indices in first-visit order, as the
+    reference Compilers.compile leafMap does (static.jl:115-120)."""
+    leafmap: Dict[int, int] = {}
+    for g in roots:
+        for leaf in g.leaves():
+            if leaf.operator.kind == "unitary":
+                continue
+            if leaf.id not in leafmap:
+                leafmap[leaf.id] = len(leafmap)
+    return leafmap
+
+
+def leaf_graphs_of(roots: Sequence[Graph]) -> Dict[int, Graph]:
+    out: Dict[int, Graph] = {}
+    for g in roots:
+        for leaf in g.leaves():
+            out.setdefault(leaf.id, leaf)
+    return out
+
+
+@dataclass
+class CompiledEvaluator:
+    """A fully fused evaluator: (varK, varT) -> root weights [R, batch]."""
+    lowered: LoweredGraph
+    tables: LeafTables
+    fn: Callable
+    leaf_fn: Callable
+    graph_fn: Callable
+    max_loop_num: int
+
+    def __call__(self, varK, varT):
+        return self.fn(varK, varT)
+
+
+def compile_evaluator(roots: Sequence[Graph], *, max_loop_num: int,
+                      beta: float, kF: float, lam: float, dtype=jnp.float64,
+                      interaction_convention: str = "lambda_power",
+                      jit: bool = True) -> CompiledEvaluator:
+    """Lower ``roots`` and build the fused batched evaluator.
+
+    - ``varK``: [dim, max_loop_num, batch] loop-momentum samples
+    - ``varT``: [num_tau, batch] imaginary-time samples (1-based tau indices
+      in the graph ids index into rows of varT)
+    """
+    leafmap = leafmap_of(roots)
+    lowered = lower(roots, leafmap)
+    tables = leaf_tables_from_lowered(lowered, leaf_graphs_of(roots), max_loop_num)
+    leaf_fn = make_leaf_evaluator(tables, beta=beta, kF=kF, lam=lam, dtype=dtype,
+                                  interaction_convention=interaction_convention)
+    graph_fn = make_evaluator(lowered, dtype=dtype, jit=False)
+
+    def fn(varK, varT):
+        leaf_values = leaf_fn(varK, varT)
+        return graph_fn(leaf_values)
+
+    jfn = jax.jit(fn) if jit else fn
+    return CompiledEvaluator(lowered, tables, jfn, leaf_fn, graph_fn, max_loop_num)
+
+
+# ---------------------------------------------------------------------------
+# artifact export: the serialized flat-IR analog of the .diag/compiled-source
+# checkpoint files (SURVEY §5.4)
+# ---------------------------------------------------------------------------
+
+def export_artifact(path: str, roots: Sequence[Graph], *, max_loop_num: int) -> None:
+    """Serialize the lowered IR + leaf tables to one .npz artifact so diagram
+    generation and TPU evaluation can run in different jobs."""
+    leafmap = leafmap_of(roots)
+    lowered = lower(roots, leafmap)
+    tables = leaf_tables_from_lowered(lowered, leaf_graphs_of(roots), max_loop_num)
+    payload = {
+        "num_slots": lowered.num_slots,
+        "num_leaves": lowered.num_leaves,
+        "root_slots": lowered.root_slots,
+        "const_slots": lowered.const_slots,
+        "const_values": lowered.const_values,
+        "num_levels": len(lowered.levels),
+        "leaf_type": tables.leaf_type,
+        "g_order": tables.g_order,
+        "v_order": tables.v_order,
+        "tau_in": tables.tau_in,
+        "tau_out": tables.tau_out,
+        "loop_idx": tables.loop_idx,
+        "loop_basis": tables.loop_basis,
+    }
+    for i, level in enumerate(lowered.levels):
+        if level.sums is not None:
+            s = level.sums
+            payload[f"lev{i}_sum"] = np.asarray([s.start, s.count])
+            payload[f"lev{i}_sum_src"] = s.edge_src
+            payload[f"lev{i}_sum_fac"] = s.edge_factor
+            payload[f"lev{i}_sum_seg"] = s.edge_seg
+        for j, p in enumerate(level.prods):
+            payload[f"lev{i}_prod{j}"] = np.asarray([p.arity, p.start, p.count])
+            payload[f"lev{i}_prod{j}_idx"] = p.idx
+            payload[f"lev{i}_prod{j}_fac"] = p.factor
+        for j, pw in enumerate(level.pows):
+            payload[f"lev{i}_pow{j}"] = np.asarray([pw.n, pw.start, pw.count])
+            payload[f"lev{i}_pow{j}_src"] = pw.src
+            payload[f"lev{i}_pow{j}_fac"] = pw.factor
+    np.savez_compressed(path, **payload)
+
+
+def load_artifact(path: str):
+    """Load an exported artifact back into (LoweredGraph, LeafTables)."""
+    from ..ops.lowering import LevelPlan, PowerPlan, ProdPlan, SumPlan
+
+    z = np.load(path)
+    levels = []
+    i = 0
+    while f"lev{i}_sum" in z or any(k.startswith(f"lev{i}_") for k in z.files):
+        sums = None
+        if f"lev{i}_sum" in z:
+            start, count = z[f"lev{i}_sum"]
+            sums = SumPlan(int(start), int(count), z[f"lev{i}_sum_src"],
+                           z[f"lev{i}_sum_fac"], z[f"lev{i}_sum_seg"])
+        prods = []
+        j = 0
+        while f"lev{i}_prod{j}" in z:
+            arity, start, count = z[f"lev{i}_prod{j}"]
+            prods.append(ProdPlan(int(arity), int(start), int(count),
+                                  z[f"lev{i}_prod{j}_idx"], z[f"lev{i}_prod{j}_fac"]))
+            j += 1
+        pows = []
+        j = 0
+        while f"lev{i}_pow{j}" in z:
+            n, start, count = z[f"lev{i}_pow{j}"]
+            pows.append(PowerPlan(int(n), int(start), int(count),
+                                  z[f"lev{i}_pow{j}_src"], z[f"lev{i}_pow{j}_fac"]))
+            j += 1
+        levels.append(LevelPlan(sums, prods, pows))
+        i += 1
+        if i > int(z["num_levels"]):
+            break
+    levels = levels[:int(z["num_levels"])]
+    lowered = LoweredGraph(
+        num_slots=int(z["num_slots"]), num_leaves=int(z["num_leaves"]),
+        levels=levels, root_slots=z["root_slots"], leaf_uid_to_slot={},
+        const_slots=z["const_slots"], const_values=z["const_values"])
+    tables = LeafTables(z["leaf_type"], z["g_order"], z["v_order"], z["tau_in"],
+                        z["tau_out"], z["loop_idx"], z["loop_basis"])
+    return lowered, tables

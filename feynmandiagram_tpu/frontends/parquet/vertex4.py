@@ -134,9 +134,14 @@ def add_alli(ver4df: List[dict], para: DiagPara, legK) -> None:
 
     dict_graphs = get_ver4I()
     if para.innerLoopNum not in dict_graphs:
-        raise RuntimeError(
-            "vertex4I tables not initialized; call "
-            "parquet.vertex4.initialize_vertex4I_diags() (requires the GV tables)")
+        try:  # lazy init from the GV tables on first use
+            initialize_vertex4I_diags()
+        except (FileNotFoundError, RuntimeError) as exc:
+            raise RuntimeError(
+                "vertex4I tables not initialized and GV tables unavailable; "
+                "call parquet.vertex4.initialize_vertex4I_diags() after "
+                "configuring frontends.gv table path") from exc
+        dict_graphs = get_ver4I()
     graphvec = dict_graphs[para.innerLoopNum]
     graphvec = update_extKT(graphvec, para, legK, para.firstLoopIdx - 1)
     for ver4diag in graphvec:

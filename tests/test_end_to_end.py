@@ -1,0 +1,162 @@
+"""End-to-end slice (BASELINE config 1): two-loop self-energy via Parquet ->
+optimize -> lower -> fused batched TPU evaluation of MC samples, validated
+against an independent numpy evaluation of the same graphs.
+
+Physics: free-fermion G(tau, eps, beta) with eps = k^2 - kF^2 and Yukawa
+V(q) = 8 pi / (q^2 + lam), the conventions of the reference MC examples.
+"""
+import math
+
+import numpy as np
+import pytest
+
+from feynmandiagram_tpu.computational_graph import eval_graph, optimize_inplace
+from feynmandiagram_tpu.frontends import (BareGreenId, BareInteractionId,
+                                          ChargeCharge, Instant, NoHartree)
+from feynmandiagram_tpu.frontends.parquet import (DiagPara, Interaction, SigmaDiag,
+                                                  Ver4Diag, sigma, vertex4, mergeby)
+from feynmandiagram_tpu.backends.compile import (compile_evaluator, leafmap_of,
+                                                 export_artifact, load_artifact)
+
+KF, BETA, LAM = 1.919, 0.5, 1.0
+TAU_CUTOFF = 1e-10
+
+
+def np_green(tau, eps, beta):
+    """Independent numpy implementation of the fermionic kernel."""
+    tau, eps = np.asarray(tau), np.asarray(eps)
+    tau = np.where(np.abs(tau) < TAU_CUTOFF, -TAU_CUTOFF, tau)
+    out = np.empty_like(tau)
+    pos = tau > 0
+    wpos = eps > 0
+    # stable four-branch form (example/benchmark.jl:113-127)
+    out = np.where(pos & wpos, np.exp(-eps * tau) / (1 + np.exp(-eps * beta)), 0.0)
+    out = np.where(pos & ~wpos, np.exp(eps * (beta - tau)) / (1 + np.exp(eps * beta)), out)
+    out = np.where(~pos & wpos, -np.exp(-eps * (tau + beta)) / (1 + np.exp(-eps * beta)), out)
+    out = np.where(~pos & ~wpos, -np.exp(-eps * tau) / (1 + np.exp(eps * beta)), out)
+    return out
+
+
+def np_leaf_values(roots, leafmap, varK, varT):
+    """Host-side leaf evaluation with numpy (independent of ops.leaf_eval)."""
+    n = len(leafmap)
+    batch = varK.shape[-1]
+    vals = np.ones((n, batch))
+    seen = set()
+    for g in roots:
+        for leaf in g.leaves():
+            if leaf.id in seen or leaf.operator.kind == "unitary":
+                continue
+            seen.add(leaf.id)
+            idx = leafmap[leaf.id]
+            pid = leaf.properties
+            k = np.asarray(pid.extK)
+            kq = np.einsum("l,dlb->db", k, varK[:, :len(k), :])
+            q2 = np.sum(kq * kq, axis=0)
+            if isinstance(pid, BareGreenId):
+                tau = varT[pid.extT[1] - 1] - varT[pid.extT[0] - 1]
+                assert leaf.orders[0] == 0, "test covers order-0 leaves"
+                vals[idx] = np_green(tau, q2 - KF ** 2, BETA)
+            elif isinstance(pid, BareInteractionId):
+                vals[idx] = 8 * math.pi / (q2 + LAM)
+            else:
+                raise ValueError(type(pid))
+    return vals
+
+
+def _run_pipeline(roots, max_loop_num, batch=64, seed=7):
+    rng = np.random.default_rng(seed)
+    dim = 3
+    varK = rng.standard_normal((dim, max_loop_num, batch))
+    varT = rng.random((max_loop_num, batch)) * BETA
+
+    compiled = compile_evaluator(roots, max_loop_num=max_loop_num, beta=BETA,
+                                 kF=KF, lam=LAM)
+    got = np.asarray(compiled(varK, varT))
+
+    # independent host evaluation
+    leafmap = leafmap_of(roots)
+    leaf_vals = np_leaf_values(roots, leafmap, varK, varT)
+    for b in range(0, batch, batch // 4):
+        expected = [eval_graph(r, leafmap, list(leaf_vals[:, b])) for r in roots]
+        np.testing.assert_allclose(got[:, b], expected, rtol=1e-9, atol=1e-12)
+    return got
+
+
+class TestEndToEnd:
+    def test_two_loop_sigma(self):
+        para = DiagPara(type=SigmaDiag, innerLoopNum=2, hasTau=True,
+                        filter=(NoHartree,),
+                        interaction=(Interaction(ChargeCharge, Instant),))
+        extK = np.zeros(para.totalLoopNum)
+        extK[0] = 1.0
+        df = sigma(para, extK, False)
+        roots = [row["diagram"] for row in df]
+        optimize_inplace(roots)
+        _run_pipeline(roots, para.totalLoopNum)
+
+    def test_order3_vertex4(self):
+        para = DiagPara(type=Ver4Diag, innerLoopNum=3, hasTau=True,
+                        filter=(NoHartree,),
+                        interaction=(Interaction(ChargeCharge, Instant),))
+        df = vertex4(para)
+        roots = [row["diagram"] for row in df]
+        optimize_inplace(roots)
+        _run_pipeline(roots, para.totalLoopNum, batch=32)
+
+    def test_artifact_roundtrip(self, tmp_path):
+        from feynmandiagram_tpu.ops.evaluator import make_evaluator
+        from feynmandiagram_tpu.ops.leaf_eval import make_leaf_evaluator
+
+        para = DiagPara(type=SigmaDiag, innerLoopNum=2, hasTau=True,
+                        filter=(NoHartree,),
+                        interaction=(Interaction(ChargeCharge, Instant),))
+        extK = np.zeros(para.totalLoopNum)
+        extK[0] = 1.0
+        df = sigma(para, extK, False)
+        roots = [row["diagram"] for row in df]
+        optimize_inplace(roots)
+
+        path = str(tmp_path / "sigma2.npz")
+        export_artifact(path, roots, max_loop_num=para.totalLoopNum)
+        lowered, tables = load_artifact(path)
+
+        rng = np.random.default_rng(3)
+        varK = rng.standard_normal((3, para.totalLoopNum, 8))
+        varT = rng.random((para.totalLoopNum, 8)) * BETA
+        leaf_fn = make_leaf_evaluator(tables, beta=BETA, kF=KF, lam=LAM)
+        graph_fn = make_evaluator(lowered)
+        got = np.asarray(graph_fn(leaf_fn(varK, varT)))
+
+        compiled = compile_evaluator(roots, max_loop_num=para.totalLoopNum,
+                                     beta=BETA, kF=KF, lam=LAM)
+        expected = np.asarray(compiled(varK, varT))
+        np.testing.assert_allclose(got, expected, rtol=1e-12)
+
+
+class TestModels:
+    def test_green_kernel_matches_numpy(self):
+        from feynmandiagram_tpu.models import green_kernel
+        rng = np.random.default_rng(0)
+        tau = rng.uniform(-BETA + 1e-3, BETA - 1e-3, 100)
+        eps = rng.uniform(-30, 30, 100)
+        got = np.asarray(green_kernel(tau, eps, BETA))
+        np.testing.assert_allclose(got, np_green(tau, eps, BETA), rtol=1e-12)
+
+    def test_green_derivative_tower_fd(self):
+        from feynmandiagram_tpu.models import green_derive_tower
+        tau, eps = 0.3, 0.7
+        h = 1e-5
+        # order-1 coefficient = -dG/deps
+        fd = -(np_green(np.asarray(tau), eps + h, BETA)
+               - np_green(np.asarray(tau), eps - h, BETA)) / (2 * h)
+        got = float(green_derive_tower(tau, eps, BETA, 1))
+        assert got == pytest.approx(float(fd), rel=1e-6)
+
+    def test_green_derivative_tower_no_nan(self):
+        from feynmandiagram_tpu.models import green_derive_tower
+        tau = np.array([0.0, 0.49, -0.49, 0.001])
+        eps = np.array([200.0, -200.0, 150.0, 0.0])
+        for order in range(6):
+            vals = np.asarray(green_derive_tower(tau, eps, BETA, order))
+            assert np.all(np.isfinite(vals)), order
