@@ -1,0 +1,80 @@
+"""Benchmark: MC samples/s on the fused order-4 vertex-4 evaluation.
+
+BASELINE config: order-4 Gamma4 parquet graph -> optimize(level=1) -> lower
+-> fused leaf+graph evaluation of Monte-Carlo sample batches on one chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no numbers (BASELINE.md), so vs_baseline is
+self-relative to the round-1 TPU v5e-1chip pin below.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+# round-1 pin: samples/s on one TPU v5e chip, batch 8192, f32
+PIN_SAMPLES_PER_S = 1.0e6
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from feynmandiagram_tpu.frontends import ChargeCharge, Instant, NoHartree
+    from feynmandiagram_tpu.frontends.parquet import (DiagPara, Interaction,
+                                                      Ver4Diag, vertex4)
+    from feynmandiagram_tpu.computational_graph import optimize_inplace
+    from feynmandiagram_tpu.backends.compile import compile_evaluator
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    dtype = jnp.float32 if on_tpu else jnp.float64
+
+    para = DiagPara(type=Ver4Diag, innerLoopNum=4, hasTau=True,
+                    filter=(NoHartree,),
+                    interaction=(Interaction(ChargeCharge, Instant),))
+    df = vertex4(para)
+    roots = [row["diagram"] for row in df]
+    optimize_inplace(roots, level=1)
+    compiled = compile_evaluator(roots, max_loop_num=para.totalLoopNum,
+                                 beta=0.5, kF=1.919, lam=1.0, dtype=dtype)
+
+    batch = int(os.environ.get("FDTPU_BENCH_BATCH", 8192))
+    rng = np.random.default_rng(0)
+    varK = jax.device_put(rng.standard_normal((3, para.totalLoopNum, batch)).astype(np.float32))
+    varT = jax.device_put((rng.random((para.totalLoopNum, batch)) * 0.5).astype(np.float32))
+
+    out = compiled(varK, varT)
+    jax.block_until_ready(out)  # compile + warmup
+
+    iters = int(os.environ.get("FDTPU_BENCH_ITERS", 20))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = compiled(varK, varT)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    samples_per_s = batch * iters / dt
+    edges_per_s = compiled.lowered.num_edges * samples_per_s
+    result = {
+        "metric": "mc_samples_per_s_order4_ver4",
+        "value": round(samples_per_s, 1),
+        "unit": "samples/s/chip",
+        "vs_baseline": round(samples_per_s / PIN_SAMPLES_PER_S, 3),
+        "extra": {
+            "edges_per_s": round(edges_per_s, 0),
+            "batch": batch,
+            "iters": iters,
+            "num_nodes": compiled.lowered.num_slots,
+            "num_edges": compiled.lowered.num_edges,
+            "platform": jax.devices()[0].platform,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

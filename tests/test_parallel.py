@@ -1,0 +1,53 @@
+"""Sharding tests on the virtual 8-device CPU mesh: the multi-chip result
+must equal the single-chip result exactly (same-graph equality across
+shardings, SURVEY §4)."""
+import jax
+import numpy as np
+import pytest
+
+from feynmandiagram_tpu.backends.compile import compile_evaluator
+from feynmandiagram_tpu.computational_graph import optimize_inplace
+from feynmandiagram_tpu.frontends import ChargeCharge, Instant, NoHartree
+from feynmandiagram_tpu.frontends.parquet import DiagPara, Interaction, SigmaDiag, sigma
+from feynmandiagram_tpu.parallel import make_sample_mesh, shard_compiled, make_mc_step
+
+BETA, KF, LAM = 0.5, 1.919, 1.0
+
+
+def _compiled(loops=2):
+    para = DiagPara(type=SigmaDiag, innerLoopNum=loops, hasTau=True,
+                    filter=(NoHartree,),
+                    interaction=(Interaction(ChargeCharge, Instant),))
+    extK = np.zeros(para.totalLoopNum)
+    extK[0] = 1.0
+    df = sigma(para, extK, False)
+    roots = [row["diagram"] for row in df]
+    optimize_inplace(roots)
+    return compile_evaluator(roots, max_loop_num=para.totalLoopNum, beta=BETA,
+                             kF=KF, lam=LAM), para
+
+
+class TestSampleSharding:
+    def test_eight_devices_available(self):
+        assert len(jax.devices()) >= 8
+
+    def test_sharded_matches_single_chip(self):
+        compiled, para = _compiled()
+        mesh = make_sample_mesh(8)
+        sharded = shard_compiled(compiled, mesh)
+        rng = np.random.default_rng(5)
+        batch = 64
+        varK = rng.standard_normal((3, para.totalLoopNum, batch))
+        varT = rng.random((para.totalLoopNum, batch)) * BETA
+        single = np.asarray(compiled(varK, varT))
+        multi = np.asarray(sharded(varK, varT))
+        np.testing.assert_allclose(multi, single, rtol=1e-12)
+
+    def test_mc_step_runs_and_reduces(self):
+        compiled, para = _compiled()
+        mesh = make_sample_mesh(8)
+        step = make_mc_step(compiled, mesh, beta=BETA)
+        key = jax.random.PRNGKey(0)
+        means = np.asarray(step(key, 16))
+        assert means.shape[0] == len(compiled.lowered.root_slots)
+        assert np.all(np.isfinite(means))
