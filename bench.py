@@ -17,7 +17,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 # round-1 pin: samples/s on one TPU v5e chip, batch 8192, f32
-PIN_SAMPLES_PER_S = 1.0e6
+# (first measured value of this implementation; vs_baseline = value / pin)
+PIN_SAMPLES_PER_S = 334719.0
 
 
 def main():
