@@ -40,8 +40,10 @@ def main():
     df = vertex4(para)
     roots = [row["diagram"] for row in df]
     optimize_inplace(roots, level=1)
+    sum_mode = os.environ.get("FDTPU_BENCH_SUM_MODE", "bucketed")
     compiled = compile_evaluator(roots, max_loop_num=para.totalLoopNum,
-                                 beta=0.5, kF=1.919, lam=1.0, dtype=dtype)
+                                 beta=0.5, kF=1.919, lam=1.0, dtype=dtype,
+                                 sum_mode=sum_mode)
 
     batch = int(os.environ.get("FDTPU_BENCH_BATCH", 8192))
     rng = np.random.default_rng(0)
@@ -71,6 +73,7 @@ def main():
             "iters": iters,
             "num_nodes": compiled.lowered.num_slots,
             "num_edges": compiled.lowered.num_edges,
+            "sum_mode": sum_mode,
             "platform": jax.devices()[0].platform,
         },
     }

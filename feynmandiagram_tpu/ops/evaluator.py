@@ -36,6 +36,10 @@ def _eval_levels(lowered: LoweredGraph, w: jnp.ndarray) -> jnp.ndarray:
             block = jax.ops.segment_sum(contrib, s.edge_seg, num_segments=s.count,
                                         indices_are_sorted=True)
             w = jax.lax.dynamic_update_slice_in_dim(w, block.astype(w.dtype), s.start, axis=0)
+        for sb in level.sum_buckets:
+            # dense gather + reduce over the padded fan-in axis (no scatter)
+            block = jnp.sum(w[sb.idx] * sb.fac[:, :, None].astype(w.dtype), axis=0)
+            w = jax.lax.dynamic_update_slice_in_dim(w, block, sb.start, axis=0)
         for p in level.prods:
             block = w[p.idx[0]]
             for a in range(1, p.arity):

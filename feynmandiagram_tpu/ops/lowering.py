@@ -55,6 +55,21 @@ class SumPlan:
 
 
 @dataclass
+class SumBucket:
+    """Dense padded form of a group of sum nodes with equal padded fan-in.
+
+    Replaces the scatter-add segment-sum with gather + reshape + reduce:
+    ``out = sum(w[idx] * fac, axis=0)`` — all static shapes, no scatter.
+    Padding entries use src=0 with factor 0.
+    """
+    arity: int
+    start: int
+    count: int
+    idx: np.ndarray          # [arity, count] int32
+    fac: np.ndarray          # [arity, count]
+
+
+@dataclass
 class ProdPlan:
     arity: int
     start: int
@@ -77,6 +92,7 @@ class LevelPlan:
     sums: Optional[SumPlan]
     prods: List[ProdPlan]
     pows: List[PowerPlan]
+    sum_buckets: List[SumBucket] = field(default_factory=list)
 
 
 @dataclass
@@ -97,12 +113,19 @@ class LoweredGraph:
 
 
 def lower(roots: Sequence[Graph], leafmap: Optional[Dict[int, int]] = None,
-          dtype=np.float64) -> LoweredGraph:
+          dtype=np.float64, *, sum_mode: str = "csr",
+          max_sum_arity: int = 64) -> LoweredGraph:
     """Lower root graphs into a LoweredGraph.
 
     ``leafmap`` maps leaf uid -> leaf-value index; when given, leaf slot k
     holds the leaf with ``leafmap[uid] == k``.  When absent, leaves are
     numbered in first-visit order (stable across calls on the same DAG).
+
+    ``sum_mode``:
+    - 'csr': Sum levels evaluate as sorted segment-sums (scatter-add)
+    - 'bucketed': wide sums are pre-split to fan-in <= max_sum_arity and
+      grouped by padded power-of-two arity into dense gather+reduce buckets
+      (no scatter; the TPU-friendly mode)
     """
     # ---- collect records (object-identity traversal; leaves dedup by uid)
     recs: List[_Rec] = []
@@ -172,6 +195,31 @@ def lower(roots: Sequence[Graph], leafmap: Optional[Dict[int, int]] = None,
     for i in range(len(recs)):
         binarize(i)
 
+    # ---- split wide sums for the bucketed mode
+    if sum_mode == "bucketed":
+        def split_sum(r_idx: int) -> None:
+            rec = recs[r_idx]
+            while rec.op == "sum" and len(rec.children) > max_sum_arity:
+                new_children: List[int] = []
+                new_factors: List[float] = []
+                it = list(zip(rec.children, rec.factors))
+                for i in range(0, len(it), max_sum_arity):
+                    chunk = it[i:i + max_sum_arity]
+                    if len(chunk) == 1:
+                        new_children.append(chunk[0][0])
+                        new_factors.append(chunk[0][1])
+                    else:
+                        sub = len(recs)
+                        recs.append(_Rec("sum", [c for c, _ in chunk],
+                                         [f for _, f in chunk]))
+                        new_children.append(sub)
+                        new_factors.append(1.0)
+                rec.children = new_children
+                rec.factors = new_factors
+
+        for i in range(len(recs)):
+            split_sum(i)
+
     # ---- depth (level) computation, iterative topological
     depth = [0] * len(recs)
     state = [0] * len(recs)  # 0=unvisited, 1=done
@@ -230,7 +278,8 @@ def lower(roots: Sequence[Graph], leafmap: Optional[Dict[int, int]] = None,
                 pows_by_n.setdefault(r.power, []).append(i)
 
         sum_plan = None
-        if sums:
+        sum_buckets: List[SumBucket] = []
+        if sums and sum_mode == "csr":
             start = next_slot
             for k, i in enumerate(sums):
                 slot_of[i] = start + k
@@ -247,6 +296,31 @@ def lower(roots: Sequence[Graph], leafmap: Optional[Dict[int, int]] = None,
                                np.asarray(edge_src, np.int32),
                                np.asarray(edge_factor, dtype),
                                np.asarray(edge_seg, np.int32))
+        elif sums:  # bucketed: group by padded power-of-two fan-in
+            def pad_arity(n: int) -> int:
+                a = 1
+                while a < n:
+                    a *= 2
+                return a
+
+            by_arity: Dict[int, List[int]] = {}
+            for i in sums:
+                by_arity.setdefault(pad_arity(len(recs[i].children)), []).append(i)
+            for a in sorted(by_arity):
+                group = by_arity[a]
+                start = next_slot
+                for k, i in enumerate(group):
+                    slot_of[i] = start + k
+                next_slot += len(group)
+                idx = np.zeros((a, len(group)), np.int32)
+                fac = np.zeros((a, len(group)), dtype)
+                for k, i in enumerate(group):
+                    r = recs[i]
+                    for j, (c, f) in enumerate(zip(r.children, r.factors)):
+                        idx[j, k] = slot_of[c]
+                        fac[j, k] = f
+                    num_edges += len(r.children)
+                sum_buckets.append(SumBucket(a, start, len(group), idx, fac))
 
         prod_plans: List[ProdPlan] = []
         for arity in sorted(prods_by_arity):
@@ -277,7 +351,7 @@ def lower(roots: Sequence[Graph], leafmap: Optional[Dict[int, int]] = None,
             num_edges += len(group)
             pow_plans.append(PowerPlan(n, start, len(group), src, fac))
 
-        levels.append(LevelPlan(sum_plan, prod_plans, pow_plans))
+        levels.append(LevelPlan(sum_plan, prod_plans, pow_plans, sum_buckets))
 
     leaf_uid_to_slot = {recs[i].uid: slot_of[i] for i in leaf_recs}
     return LoweredGraph(

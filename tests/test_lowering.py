@@ -121,3 +121,29 @@ class TestLoweringEquivalence:
         f = make_evaluator(lowered)
         out = np.asarray(f(np.ones((3, 1))))
         assert out[0, 0] == 3.0
+
+
+class TestBucketedSums:
+    @pytest.mark.parametrize("seed", [1, 9])
+    def test_bucketed_matches_csr(self, seed):
+        rng = random.Random(seed)
+        leaves = [Graph([], properties=("leaf", i)) for i in range(6)]
+        roots = [random_dag(rng, leaves) for _ in range(3)]
+        leafmap = {leaf.id: i for i, leaf in enumerate(leaves)}
+        vals = np.asarray([rng.uniform(0.5, 1.5) for _ in range(6)])
+        csr = lower(roots, leafmap, sum_mode="csr")
+        bucketed = lower(roots, leafmap, sum_mode="bucketed", max_sum_arity=4)
+        got_csr = np.asarray(make_evaluator(csr)(vals))
+        got_b = np.asarray(make_evaluator(bucketed)(vals))
+        np.testing.assert_allclose(got_b, got_csr, rtol=1e-10, atol=1e-12)
+
+    def test_wide_sum_split(self):
+        leaves = [Graph([], properties=i) for i in range(40)]
+        s = Graph(leaves, subgraph_factors=[float(i + 1) for i in range(40)],
+                  operator=SUM)
+        leafmap = {leaf.id: i for i, leaf in enumerate(leaves)}
+        vals = np.arange(1.0, 41.0)
+        lowered = lower([s], leafmap, sum_mode="bucketed", max_sum_arity=8)
+        out = np.asarray(make_evaluator(lowered)(vals))
+        expected = sum((i + 1) * vals[i] for i in range(40))
+        assert out[0, 0] == pytest.approx(expected)
