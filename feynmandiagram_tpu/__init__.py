@@ -27,3 +27,19 @@ __version__ = "0.1.0"
 
 from . import computational_graph
 from . import quantum_operators
+from . import taylor
+from . import utility
+from . import frontends
+from . import models
+
+# heavier, jax-importing layers are imported lazily on attribute access
+_LAZY = {"ops", "backends", "parallel"}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+        mod = importlib.import_module(f".{name}", __name__)
+        globals()[name] = mod
+        return mod
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
