@@ -274,6 +274,13 @@ def _read_one_diagram(b: _Block, diag_type: str, g_num: int, ver_num: int,
     elif diag_type == "sigma":
         diagid = SigmaId(inner_loop_num, Dynamic if is_dynamic else Instant, k=extK,
                          t=tuple(tau_labels[i - 1] for i in ext_index))
+    elif diag_type == "green":
+        # NOTE: the reference Graph-path reader has no :green branch
+        # (readfile.jl:568-578 leaves diagid undefined); a GreenId is the
+        # natural extension here
+        from ..diagram_id import GreenId
+        diagid = GreenId(inner_loop_num, Dynamic if is_dynamic else Instant, k=extK,
+                         t=tuple(tau_labels[i - 1] for i in ext_index))
     else:
         diagid = GenericId(inner_loop_num)
 

@@ -1,0 +1,154 @@
+"""Validation of the self-hosted diagram-table generator against the
+reference tables.
+
+Two independent checks per (kind, order, ver_order, g_order):
+1. leaf==1 evaluation per external-tau group (loop-basis independent;
+   validates topology counts, spin factors, symmetry factors, tau grouping)
+2. exhaustive Z_p lattice sums over internal loop momenta and internal tau
+   labels with a deterministic pseudo-random leaf function — invariant under
+   any GL(n, Z) loop-basis change and any internal relabeling, so it
+   validates the momentum routing exactly.
+"""
+import itertools
+import os
+
+import numpy as np
+import pytest
+
+REF_TABLES = "/root/reference/src/frontend/GV_diagrams"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF_TABLES),
+                                reason="reference tables unavailable")
+
+from feynmandiagram_tpu.computational_graph import eval_graph
+from feynmandiagram_tpu.frontends.diagram_id import BareGreenId, BareInteractionId
+from feynmandiagram_tpu.frontends.gv.readfile import read_diagrams
+from feynmandiagram_tpu.frontends.gv.generator import (generate_sigma,
+                                                       generate_polar,
+                                                       generate_green,
+                                                       generate_free_energy)
+
+P_MOD = 3  # lattice modulus for momentum sums
+T_MOD = 3  # lattice modulus for tau sums
+
+
+def _hashval(*args) -> float:
+    """Deterministic pseudo-random value in [0.5, 1.5)."""
+    h = hash(args) & 0xFFFFFFFF
+    return 0.5 + h / 0xFFFFFFFF
+
+
+def _group_eval_ones(path, diag_type):
+    graphs = read_diagrams(path, diag_type)
+    return {g.properties.extT if hasattr(g.properties, "extT") else "all":
+            eval_graph(g) for g in graphs}
+
+
+def _lattice_sum(path, diag_type):
+    """Sum of all diagrams over the Z_p lattice of internal loops and taus,
+    keyed by external-tau group."""
+    graphs = read_diagrams(path, diag_type)
+    out = {}
+    for g in graphs:
+        key = g.properties.extT if hasattr(g.properties, "extT") else "all"
+        leaves = {}
+        for leaf in g.leaves():
+            if leaf.id not in leaves:
+                leaves[leaf.id] = leaf
+        leaf_ids = list(leaves)
+        leafmap = {uid: i for i, uid in enumerate(leaf_ids)}
+        loop_num = len(leaves[leaf_ids[0]].properties.extK) if leaf_ids else 0
+        n_tau = 1 + max((max(leaves[u].properties.extT) for u in leaf_ids),
+                        default=0)
+        ext_taus = set(key) if key != "all" else set()
+        int_taus = [t for t in range(n_tau) if t not in ext_taus]
+
+        total = 0.0
+        has_ext_loop = key != "all"  # free energy has no external loop
+        n_free = loop_num - 1 if has_ext_loop else loop_num
+        loop_ranges = [range(P_MOD)] * max(n_free, 0)
+        tau_ranges = [range(T_MOD)] * len(int_taus)
+        for loops in itertools.product(*loop_ranges):
+            kvec = np.array(((1,) + loops) if has_ext_loop else loops)
+            for taus in itertools.product(*tau_ranges):
+                tau_val = {t: v for t, v in zip(int_taus, taus)}
+                for t in ext_taus:
+                    tau_val[t] = 100 + t  # fixed distinct external taus
+                vals = []
+                for uid in leaf_ids:
+                    leaf = leaves[uid]
+                    pid = leaf.properties
+                    k = int(np.dot(np.asarray(pid.extK), kvec[:len(pid.extK)])) % P_MOD
+                    # leaf ids mirror-symmetrize extK (k and -k merge), so the
+                    # test function must be even in k, as physical kernels are
+                    k = min(k, (P_MOD - k) % P_MOD)
+                    tin = tau_val[pid.extT[0]]
+                    tout = tau_val[pid.extT[1]]
+                    kind = 1 if isinstance(pid, BareGreenId) else 2
+                    if kind == 2:
+                        tin, tout = min(tin, tout), max(tin, tout)  # W symmetric
+                    vals.append(_hashval(kind, k, tin, tout, tuple(leaf.orders[:2])))
+                total += eval_graph(g, leafmap, vals)
+        out[key] = out.get(key, 0.0) + total
+    return out
+
+
+def _compare(kind, ref_sub, prefix, gen_fn, order, v, g, tmp_path, *, lattice=True):
+    ref_path = os.path.join(REF_TABLES, ref_sub, f"{prefix}{order}_{v}_{g}.diag")
+    if not os.path.exists(ref_path):
+        pytest.skip(f"no reference table {ref_path}")
+    text = gen_fn(order, v, g)
+    assert text is not None
+    gen_path = str(tmp_path / "gen.diag")
+    with open(gen_path, "w") as f:
+        f.write(text)
+
+    got = _group_eval_ones(gen_path, kind)
+    expected = _group_eval_ones(ref_path, kind)
+    assert set(got) == set(expected), (kind, order, v, g)
+    for key in expected:
+        assert got[key] == pytest.approx(expected[key]), (kind, order, v, g, key)
+
+    if lattice:
+        got_l = _lattice_sum(gen_path, kind)
+        exp_l = _lattice_sum(ref_path, kind)
+        for key in exp_l:
+            assert got_l[key] == pytest.approx(exp_l[key], rel=1e-9), \
+                (kind, order, v, g, key)
+
+
+class TestSigmaTables:
+    @pytest.mark.parametrize("order,v,g", [(1, 0, 0), (2, 0, 0), (3, 0, 0),
+                                           (2, 1, 0), (2, 0, 1), (2, 1, 1),
+                                           (3, 1, 0), (3, 0, 1)])
+    def test_vs_reference(self, order, v, g, tmp_path):
+        _compare("sigma", "groups_sigma", "Sigma", generate_sigma, order, v, g,
+                 tmp_path)
+
+
+class TestPolarTables:
+    @pytest.mark.parametrize("order,v,g", [(1, 0, 0), (2, 0, 0), (3, 0, 0),
+                                           (2, 1, 0), (2, 0, 1)])
+    def test_charge_vs_reference(self, order, v, g, tmp_path):
+        _compare("chargePolar", "groups_charge", "Polar",
+                 lambda o, vv, gg: generate_polar(o, vv, gg, is_spin_polar=False),
+                 order, v, g, tmp_path)
+
+    @pytest.mark.parametrize("order,v,g", [(1, 0, 0), (2, 0, 0), (3, 0, 0)])
+    def test_spin_vs_reference(self, order, v, g, tmp_path):
+        _compare("spinPolar", "groups_spin", "Polar",
+                 lambda o, vv, gg: generate_polar(o, vv, gg, is_spin_polar=True),
+                 order, v, g, tmp_path)
+
+
+class TestGreenTables:
+    @pytest.mark.parametrize("order,v,g", [(1, 0, 0), (2, 0, 0), (3, 0, 0)])
+    def test_vs_reference(self, order, v, g, tmp_path):
+        _compare("green", "groups_green", "Green", generate_green, order, v, g,
+                 tmp_path)
+
+
+class TestFreeEnergyTables:
+    @pytest.mark.parametrize("order,v,g", [(2, 0, 0), (3, 0, 0)])
+    def test_vs_reference(self, order, v, g, tmp_path):
+        _compare("freeEnergy", "groups_free_energy", "FreeEnergy",
+                 generate_free_energy, order, v, g, tmp_path)
