@@ -514,3 +514,261 @@ def generate_tables(out_dir: str, max_order: int = 4, *, spin: int = 2,
                     emit("free_energy", "FreeEnergy", "groups_free_energy",
                          generate_free_energy, o, v, g)
     return written
+
+
+# ---------------------------------------------------------------------------
+# vertex4 tables (reference vertex4.py + main_vertex4.py)
+# ---------------------------------------------------------------------------
+
+def _swap_two_vertex_pairs(perm, basis, i, j, k, l):
+    """Swap slot pair (i, j) with (k, l) in the permutation and the
+    corresponding loop-basis columns (diagram.py:76-94)."""
+    p = list(perm)
+    ip, kp = p.index(i), p.index(k)
+    jp, lp = p.index(j), p.index(l)
+    p[ip], p[kp] = k, i
+    p[jp], p[lp] = l, j
+    p[i], p[k] = p[k], p[i]
+    p[j], p[l] = p[l], p[j]
+    b = np.copy(basis)
+    b[:, [i, k]] = b[:, [k, i]]
+    b[:, [j, l]] = b[:, [l, j]]
+    return tuple(p), b
+
+
+def _ver4_normalize(perm, basis):
+    """Move the interactions adjacent to the external slots 0/1 to the low
+    vertex slots (vertex4.py:56-75)."""
+    ext_v = [0, 0, 1, 1]
+    num_ext = 0
+    for i in range(4):
+        if i % 2 == 0:
+            i0 = perm[ext_v[i]]
+        else:
+            i0 = perm.index(ext_v[i])
+        if i0 > 2 * i + 3 or i0 > 2 * num_ext + 3:
+            num_ext += 1
+            if i0 % 2 == 0:
+                neighbor = i0 + 1
+                perm, basis = _swap_two_vertex_pairs(perm, basis, i0, neighbor,
+                                                     2 * num_ext, 2 * num_ext + 1)
+            else:
+                neighbor = i0 - 1
+                perm, basis = _swap_two_vertex_pairs(perm, basis, neighbor, i0,
+                                                     2 * num_ext, 2 * num_ext + 1)
+        elif i0 // 2 > num_ext:
+            num_ext += 1
+    return perm, basis
+
+
+def _ver4_is_reducible(perm, basis, g_num, ver4_num):
+    """Hartree insertions + one-particle reducibility (vertex4.py:306-338)."""
+    perm = list(perm)
+    for i in range(1, ver4_num + 1):
+        start1 = perm.index(2 * i)
+        if np.all(basis[:, start1] - basis[:, 2 * i] == 0):
+            return True
+    ext4 = [list(basis[:, 0]), list(basis[:, 1])]
+    ip = perm.index(0)
+    if list(basis[:, ip]) == ext4[1]:
+        return True
+    ext4.append(list(basis[:, ip]))
+    ip = perm.index(1)
+    if list(basis[:, ip]) == ext4[0]:
+        return True
+    ext4.append(list(basis[:, ip]))
+    for i in range(2, g_num):
+        if perm[i] in (0, 1):
+            continue
+        if list(basis[:, i]) in ext4:
+            return True
+    return False
+
+
+def _ver4_is_2p_reducible(perm, basis, g_num):
+    """Two-particle reducibility along any channel (vertex4.py:340-365)."""
+    perm = list(perm)
+    ext4 = [list(basis[:, 0]), list(basis[:, 1])]
+    ip = perm.index(0)
+    if list(basis[:, ip]) == ext4[1]:
+        return True
+    ext4.append(list(basis[:, ip]))
+    ip = perm.index(1)
+    if list(basis[:, ip]) == ext4[0]:
+        return True
+    ext4.append(list(basis[:, ip]))
+    q0 = np.array(ext4[0]) - np.array(ext4[2])
+    q1 = np.array(ext4[1]) - np.array(ext4[2])
+    q2 = np.array(ext4[0]) + np.array(ext4[1])
+    for i in range(2, g_num):
+        if perm[i] in (0, 1):
+            continue
+        if list(basis[:, i]) in ext4:
+            return True
+        for j in range(2, g_num):
+            if perm[j] in (0, 1) or i == j:
+                continue
+            momm = basis[:, i] - basis[:, j]
+            momp = basis[:, i] + basis[:, j]
+            if (np.allclose(q0, momm) or np.allclose(q1, momm)
+                    or np.allclose(q2, momp)):
+                return True
+    return False
+
+
+def _ver4_is_proper(perm, basis, ver4_num):
+    """No interaction carries the transfer momentum (vertex4.py:292-304)."""
+    perm = list(perm)
+    ext_loop = basis[:, 0] - basis[:, perm.index(0)]
+    for i in range(1, ver4_num + 1):
+        start1 = perm.index(2 * i)
+        ver = basis[:, start1] - basis[:, 2 * i]
+        if np.array_equal(ver, ext_loop) or np.array_equal(-ver, ext_loop):
+            return False
+    return True
+
+
+def generate_vertex4(order: int, ver_order: int = 0, g_order: int = 0, *,
+                     spin: int = 2, fully_irreducible: bool = False,
+                     lnz=None) -> Optional[str]:
+    """Generate Vertex4{order} / Vertex4I{order} tables (vertex4.py:41-267).
+
+    Vertex-4 diagrams of order n are polarization-type topologies of order
+    n+2; the two extra measuring lines become the external legs.
+    """
+    g_num = 2 * order + 4
+    ver4_num = order + 1
+    loop_num = order + 3
+    polar_order = order + 2
+    diags = _unique_polar_diagrams(polar_order, lnz)
+
+    inter_cts = _distributions(ver_order, ver4_num)
+    sigma_cts = _distributions(g_order, g_num)
+
+    body = ""
+    diag_num = 0
+    for vertype in inter_cts:
+        for gtype in sigma_cts:
+            for perm0, basis0, sym in diags:
+                perm, basis = _ver4_normalize(perm0, np.copy(basis0))
+                feyn_list = hugen_to_feyn(perm, ver4_num + 1)
+                factor_list = []
+                for fp in feyn_list:
+                    if (fp[0] == 1 or fp[1] == 0
+                            or _ver4_is_reducible(fp, basis, g_num, ver4_num)
+                            or (fully_irreducible
+                                and _ver4_is_2p_reducible(fp, basis, g_num))):
+                        factor_list.append(0)
+                    else:
+                        factor_list.append(1)
+                if all(f == 0 for f in factor_list):
+                    continue
+
+                # Gaussian-eliminate the loop basis so the external columns
+                # become e0, e1, e2 (and e0 - e1 + e2) (vertex4.py:91-115)
+                perm_l = list(perm)
+                ext_index = [0, perm_l.index(0), 1, perm_l.index(1)]
+                extK = [np.zeros(loop_num) for _ in range(4)]
+                for i in range(3):
+                    extK[i][i] = 1.0
+                    extK[3][i] = (-1.0) ** i
+                cur = basis.astype(float)
+                for i, iver in enumerate(ext_index[:3]):
+                    locs = np.nonzero(cur[:, iver])[0]
+                    if locs.size == 0:
+                        raise AssertionError("wrong loop basis")
+                    if cur[i, iver] == 0:
+                        idx = locs[np.where(locs > i)[0][0]]
+                        old = np.copy(cur)
+                        cur[i, :] = old[idx, :] / old[idx, iver]
+                        cur[idx, :] = old[i, :]
+                        locs = locs[locs != idx]
+                    elif cur[i, iver] != 1:
+                        cur[i, :] /= cur[i, iver]
+                    for j in locs:
+                        if j == i:
+                            continue
+                        cur[j, :] -= cur[i, :] * cur[j, iver]
+                for i, iver in enumerate(ext_index):
+                    if not np.array_equal(extK[i], cur[:, iver]):
+                        raise AssertionError("loop basis inconsistent with extK")
+                basis = np.rint(cur).astype(int)
+
+                block = _ver4_block(perm, basis, sym, order, g_num, ver4_num,
+                                    loop_num, vertype, gtype, feyn_list,
+                                    factor_list, spin)
+                body += block + "\n"
+                diag_num += 1
+    if not body:
+        return None
+    header = _header("Vertex4", diag_num, order, g_num, ver4_num, loop_num,
+                     ver4_num + 2, 0, None)
+    # vertex4 headers carry no ExtTauIndex line (see groups_vertex4/*.diag)
+    header = header.replace("#ExtTauIndex: \n", "")
+    return header + body
+
+
+def _ver4_block(perm, basis, sym, order, g_num, ver4_num, loop_num, vertype,
+                gtype, feyn_list, factor_list, spin) -> str:
+    perm_l = list(perm)
+    # channel classification (vertex4.py:131-150; last match wins)
+    ext4 = [basis[:, 0], basis[:, 1], basis[:, perm_l.index(0)],
+            basis[:, perm_l.index(1)]]
+    q0 = ext4[0] - ext4[2]
+    q1 = ext4[1] - ext4[2]
+    q2 = ext4[0] + ext4[1]
+    chan = "Alli"
+    for i in range(2, g_num):
+        if perm_l[i] in (0, 1):
+            continue
+        for j in range(2, g_num):
+            if perm_l[j] in (0, 1) or i == j:
+                continue
+            momm = basis[:, i] - basis[:, j]
+            momp = basis[:, i] + basis[:, j]
+            if np.allclose(q0, momm):
+                chan = "PHr"
+            elif np.allclose(q1, momm):
+                chan = "PHEr"
+            elif np.allclose(q2, momp):
+                chan = "PPr"
+
+    b = _DiagBlock()
+    b.add("Permutation", _fmt_row(perm))
+    b.add("SymFactor", f"{sym}")
+    b.add("Channel: ", chan)
+    grow = [(-2 if (perm_l[i] in (0, 1) or i in (0, 1)) else gtype[i])
+            for i in range(g_num)]
+    b.add("GType", _fmt_row(grow))
+    vb1 = [i // 2 for i in range(g_num)]
+    vb2 = [perm_l[i] // 2 for i in range(g_num)]
+    b.add("VertexBasis", _fmt_row(vb1), _fmt_row(vb2))
+    b.add("LoopBasis", *[_fmt_row(basis[i]) for i in range(loop_num)])
+    legs = ""
+    for i in range(1, ver4_num + 1):
+        end1, end2 = 2 * i, 2 * i + 1
+        legs += f"{perm_l.index(end1):2d} {end1:2d} {perm_l.index(end2):2d} {end2:2d} |"
+    b.add("Ver4Legs(InL,OutL,InR,OutR)", legs)
+    wrow = ""
+    for i in range(ver4_num):
+        wrow += f"{vertype[i]:2d} {vertype[i]:2d} |"
+    b.add("WType(Direct,Exchange)", wrow)
+    spin_row = ""
+    is_direct = []
+    is_proper = []
+    sign_base = (-1) ** order / (1 if sym > 0 else -1)
+    for idx, fp in enumerate(feyn_list):
+        path = find_loops(fp)
+        direct = any(0 in p and 1 in p for p in path)
+        is_direct.append(1 if direct else 0)
+        is_proper.append(0 if _ver4_is_proper(fp, basis, ver4_num) else 1)
+        nloop = len(path) - 1
+        sign = (-1) ** nloop * sign_base
+        sf = spin ** nloop * int(sign) * factor_list[idx]
+        if not direct:
+            sf //= 2
+        spin_row += f"{int(sf):2d} "
+    b.add("SpinFactor", spin_row)
+    b.add("Di/Ex", _fmt_row(is_direct))
+    b.add("Proper/ImProper", _fmt_row(is_proper))
+    return b.text()

@@ -152,3 +152,69 @@ class TestFreeEnergyTables:
     def test_vs_reference(self, order, v, g, tmp_path):
         _compare("freeEnergy", "groups_free_energy", "FreeEnergy",
                  generate_free_energy, order, v, g, tmp_path)
+
+
+from feynmandiagram_tpu.frontends.common import Alli, PHr, PHEr, PPr, UpUp, UpDown
+from feynmandiagram_tpu.frontends.gv.readfile import read_vertex4_diagrams
+from feynmandiagram_tpu.frontends.gv.generator.tables import generate_vertex4
+
+
+def _ver4_totals(path, lattice=False):
+    """Totals keyed by (channel, response), summed over extT groups (and,
+    for the lattice check, over internal momenta/taus)."""
+    graphs = read_vertex4_diagrams(path)
+    out = {}
+    for g in graphs:
+        pid = g.properties
+        key = (pid.channel, pid.response)
+        if not lattice:
+            out[key] = out.get(key, 0.0) + eval_graph(g)
+            continue
+        leaves = {}
+        for leaf in g.leaves():
+            leaves.setdefault(leaf.id, leaf)
+        ids = list(leaves)
+        leafmap = {u: i for i, u in enumerate(ids)}
+        loop_num = len(leaves[ids[0]].properties.extK)
+        n_tau = max(max(leaves[u].properties.extT) for u in ids) + 1
+        total = 0.0
+        for loops in itertools.product(range(P_MOD), repeat=loop_num - 3):
+            kvec = np.array((1, 2, 0) + loops)  # pinned external legs
+            for taus in itertools.product(range(T_MOD), repeat=n_tau):
+                vals = []
+                for u in ids:
+                    pid_l = leaves[u].properties
+                    k = int(np.dot(np.asarray(pid_l.extK),
+                                   kvec[:len(pid_l.extK)])) % P_MOD
+                    k = min(k, (P_MOD - k) % P_MOD)
+                    tin, tout = taus[pid_l.extT[0]], taus[pid_l.extT[1]]
+                    kind = 1 if isinstance(pid_l, BareGreenId) else 2
+                    if kind == 2:
+                        tin, tout = min(tin, tout), max(tin, tout)
+                    vals.append(_hashval(kind, k, tin, tout,
+                                         tuple(leaves[u].orders[:2])))
+                total += eval_graph(g, leafmap, vals)
+        out[key] = out.get(key, 0.0) + total
+    return out
+
+
+class TestVertex4Tables:
+    @pytest.mark.parametrize("order", [1, 2])
+    def test_vs_reference(self, order, tmp_path):
+        ref_path = os.path.join(REF_TABLES, "groups_vertex4",
+                                f"Vertex4{order}_0_0.diag")
+        if not os.path.exists(ref_path):
+            pytest.skip("no reference table")
+        text = generate_vertex4(order)
+        gen_path = str(tmp_path / "gen.diag")
+        with open(gen_path, "w") as f:
+            f.write(text)
+        got = _ver4_totals(gen_path)
+        expected = _ver4_totals(ref_path)
+        assert set(got) == set(expected)
+        for key in expected:
+            assert got[key] == pytest.approx(expected[key]), key
+        got_l = _ver4_totals(gen_path, lattice=True)
+        exp_l = _ver4_totals(ref_path, lattice=True)
+        for key in exp_l:
+            assert got_l[key] == pytest.approx(exp_l[key], rel=1e-9), key
