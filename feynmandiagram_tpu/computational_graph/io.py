@@ -31,3 +31,11 @@ def show_tree(g, depth: int = 0, maxdepth: int = 6, _printed=None) -> str:
         for sub in g.subgraphs:
             out.append(show_tree(sub, depth + 1, maxdepth, _printed))
     return "\n".join(out)
+
+
+def plot_tree(g, maxdepth: int = 6) -> str:
+    """Print an ASCII rendering of the graph tree (the reference's ete3-based
+    plot_tree, io.jl:126-175, maps to this + the DOT export in backends)."""
+    out = show_tree(g, maxdepth=maxdepth)
+    print(out)
+    return out
