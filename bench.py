@@ -50,15 +50,40 @@ def main():
     varK = jax.device_put(rng.standard_normal((3, para.totalLoopNum, batch)).astype(np.float32))
     varT = jax.device_put((rng.random((para.totalLoopNum, batch)) * 0.5).astype(np.float32))
 
-    out = compiled(varK, varT)
-    jax.block_until_ready(out)  # compile + warmup
-
     iters = int(os.environ.get("FDTPU_BENCH_ITERS", 20))
-    t0 = time.perf_counter()
-    for _ in range(iters):
+    fused = os.environ.get("FDTPU_BENCH_FUSED", "1") == "1"
+    if fused:
+        # the production MC shape: the whole sampling+evaluation loop runs on
+        # device under one jit; per-iteration PRNG folding prevents folding
+        import jax.numpy as jnp
+
+        num_tau = para.totalTauNum
+
+        @jax.jit
+        def mc_chunk(key):
+            def body(i, acc):
+                k1, k2 = jax.random.split(jax.random.fold_in(key, i))
+                vk = jax.random.normal(k1, (3, para.totalLoopNum, batch), dtype)
+                vt = jax.random.uniform(k2, (num_tau, batch), dtype) * 0.5
+                roots = compiled.fn(vk, vt)
+                return acc + jnp.sum(roots, axis=1)
+
+            return jax.lax.fori_loop(0, iters, body, jnp.zeros(
+                (len(compiled.lowered.root_slots),), dtype))
+
+        key = jax.random.PRNGKey(0)
+        jax.block_until_ready(mc_chunk(key))  # compile + warmup
+        t0 = time.perf_counter()
+        jax.block_until_ready(mc_chunk(jax.random.PRNGKey(1)))
+        dt = time.perf_counter() - t0
+    else:
         out = compiled(varK, varT)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+        jax.block_until_ready(out)  # compile + warmup
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = compiled(varK, varT)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
 
     samples_per_s = batch * iters / dt
     edges_per_s = compiled.lowered.num_edges * samples_per_s
@@ -74,6 +99,7 @@ def main():
             "num_nodes": compiled.lowered.num_slots,
             "num_edges": compiled.lowered.num_edges,
             "sum_mode": sum_mode,
+            "fused": fused,
             "platform": jax.devices()[0].platform,
         },
     }

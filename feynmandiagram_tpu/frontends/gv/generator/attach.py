@@ -163,36 +163,63 @@ def attach_external_vertices(lnz_perm: Perm, lnz_basis: np.ndarray,
     return out
 
 
+def polar_canonical(perm: Perm, order: int) -> Perm:
+    """Canonical form of a polar permutation under the internal-interaction
+    deformation group: interaction relabeling x half swaps x direct/exchange.
+
+    Minimum over (order-1)! relabelings x 2^(order-1) half-swap masks, with
+    the direct/exchange choice normalized independently per interaction
+    (it only swaps the two values at that interaction's slots).
+    """
+    import itertools as it
+
+    g_num = len(perm)
+    ints = list(range(1, order))
+    n_int = len(ints)
+    best = None
+    m = [0] * g_num
+    m[0], m[1] = 0, 1
+    for sigma in it.permutations(ints):
+        for mask in range(1 << n_int):
+            for j, old in enumerate(sigma):
+                h = (mask >> j) & 1
+                m[2 * old] = 2 * (ints[j]) + h
+                m[2 * old + 1] = 2 * (ints[j]) + (1 - h)
+            q = [0] * g_num
+            for s in range(g_num):
+                q[m[s]] = m[perm[s]]
+            for j in ints:  # D2E normalization per interaction
+                a, b = 2 * j, 2 * j + 1
+                if q[a] > q[b]:
+                    q[a], q[b] = q[b], q[a]
+            t = tuple(q)
+            if best is None or t < best:
+                best = t
+    return best
+
+
 def group_polar(polar_dict: Dict[Perm, Tuple[np.ndarray, float]],
                 order: int, time_rotation: bool = True
                 ) -> List[Tuple[Perm, np.ndarray, float]]:
     """Merge equivalent labeled polar diagrams (polar.py:131-176).
 
     The deformation group acts on internal interactions 1..order-1 only.
+    Uses canonical forms (polynomial cost) instead of the reference's
+    explicit deformation-list expansion (exponential at order 6).
     Returns [(representative, loop_basis, sym_factor * class_size)].
     """
-    remaining = dict(polar_dict)
+    classes: Dict[Perm, List[Perm]] = {}
+    order_seen: List[Perm] = []
+    for perm in polar_dict:
+        key = polar_canonical(perm, order)
+        if key not in classes:
+            classes[key] = []
+            order_seen.append(key)
+        classes[key].append(perm)
     out = []
-    while remaining:
-        perm = next(iter(remaining))
-        deformation = [perm]
-        if time_rotation:
-            for idx in range(1, order):
-                for i in range(len(deformation)):
-                    for j in range(1, idx):
-                        deformation.append(swap_two_interaction(
-                            deformation[i], idx * 2, idx * 2 + 1, j * 2, j * 2 + 1))
-        for idx in range(1, order):
-            for i in range(len(deformation)):
-                deformation.append(swap_two_vertex(deformation[i], idx * 2, idx * 2 + 1))
-        for idx in range(1, order):
-            for i in range(len(deformation)):
-                deformation.append(direct2exchange(deformation[i], idx * 2, idx * 2 + 1))
-        members = []
-        for p in set(deformation):
-            if p in remaining:
-                members.append(p)
-                del remaining[p]
-        basis, sym = polar_dict[perm]
-        out.append((perm, basis, sym * len(members)))
+    for key in order_seen:
+        members = classes[key]
+        rep = members[0]
+        basis, sym = polar_dict[rep]
+        out.append((rep, basis, sym * len(members)))
     return out
