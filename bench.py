@@ -51,7 +51,7 @@ def main():
     varT = jax.device_put((rng.random((para.totalLoopNum, batch)) * 0.5).astype(np.float32))
 
     iters = int(os.environ.get("FDTPU_BENCH_ITERS", 20))
-    fused = os.environ.get("FDTPU_BENCH_FUSED", "1") == "1"
+    fused = os.environ.get("FDTPU_BENCH_FUSED", "0") == "1"
     if fused:
         # the production MC shape: the whole sampling+evaluation loop runs on
         # device under one jit; per-iteration PRNG folding prevents folding

@@ -73,3 +73,48 @@ def leafstates(leaf_maps: Sequence[Dict[int, "Graph"]], maxloop_num: int):
 
     return (leaf_value, leaf_type, leaf_orders, leaf_in_tau, leaf_out_tau,
             leaf_loop_index), [b for b in loop_basis]
+
+
+def leafstates_label(leaf_maps, label_prod: LabelProduct):
+    """LabelProduct variant of ``leafstates`` for FeynmanGraph leaves
+    (frontends.jl:115-160): type 0 = interaction, 1 = fermionic, 2 = bosonic.
+
+    Returns (leaf_value, leaf_type, leaf_orders, leaf_in_tau, leaf_out_tau,
+    leaf_loop_index) with 0-based loop indices into the label product's
+    momentum axis.
+    """
+    from ..computational_graph.feynman_graph import DiagramType, diagram_type
+
+    num_g = len(leaf_maps)
+    leaf_type = [[] for _ in range(num_g)]
+    leaf_orders = [[] for _ in range(num_g)]
+    leaf_in_tau = [[] for _ in range(num_g)]
+    leaf_out_tau = [[] for _ in range(num_g)]
+    leaf_loop_index = [[] for _ in range(num_g)]
+    leaf_value = [None] * num_g
+
+    for ikey, leafmap in enumerate(leaf_maps):
+        n = len(leafmap)
+        leaf_value[ikey] = np.ones(n)
+        for idx in range(n):
+            g = leafmap[idx]
+            vertices = g.properties.vertices
+            dtype = diagram_type(g)
+            if dtype == DiagramType.INTERACTION:
+                op_in = op_out = vertices[0][0].label
+                leaf_type[ikey].append(0)
+                leaf_loop_index[ikey].append(0)
+            elif dtype == DiagramType.PROPAGATOR:
+                op_in = vertices[1][0].label
+                op_out = vertices[0][0].label
+                fermionic = vertices[0].isfermionic()
+                leaf_type[ikey].append(1 if fermionic else 2)
+                leaf_loop_index[ikey].append(
+                    label_prod.linear_to_index(op_in)[-1])
+            else:
+                raise ValueError(f"unsupported leaf diagram type {dtype}")
+            leaf_orders[ikey].append(list(g.orders))
+            leaf_in_tau[ikey].append(label_prod[op_in][0])
+            leaf_out_tau[ikey].append(label_prod[op_out][0])
+    return (leaf_value, leaf_type, leaf_orders, leaf_in_tau, leaf_out_tau,
+            leaf_loop_index)

@@ -147,3 +147,32 @@ class TestBucketedSums:
         out = np.asarray(make_evaluator(lowered)(vals))
         expected = sum((i + 1) * vals[i] for i in range(40))
         assert out[0, 0] == pytest.approx(expected)
+
+
+class TestPrecision:
+    def test_f32_vs_f64_order3_ver4(self):
+        """Quantify f32 (TPU) vs f64 error on a real parquet graph
+        (SURVEY hard part #4: Prod/Power numerics in reduced precision)."""
+        import jax.numpy as jnp
+        from feynmandiagram_tpu.frontends import ChargeCharge, Instant, NoHartree
+        from feynmandiagram_tpu.frontends.parquet import (DiagPara, Interaction,
+                                                          Ver4Diag, vertex4)
+        from feynmandiagram_tpu.computational_graph import optimize_inplace
+        from feynmandiagram_tpu.backends.compile import leafmap_of
+
+        para = DiagPara(type=Ver4Diag, innerLoopNum=3, hasTau=True,
+                        filter=(NoHartree,),
+                        interaction=(Interaction(ChargeCharge, Instant),))
+        df = vertex4(para)
+        roots = [row["diagram"] for row in df]
+        optimize_inplace(roots, level=1)
+        leafmap = leafmap_of(roots)
+        lowered = lower(roots, leafmap, sum_mode="bucketed")
+        rng = np.random.default_rng(1)
+        vals = rng.uniform(0.25, 4.0, (len(leafmap), 16))
+        f64 = np.asarray(make_evaluator(lowered, dtype=jnp.float64)(vals))
+        f32 = np.asarray(make_evaluator(lowered, dtype=jnp.float32)(
+            vals.astype(np.float32)))
+        denom = np.maximum(np.abs(f64), 1e-3 * np.abs(f64).max())
+        rel = np.abs(f32 - f64) / denom
+        assert rel.max() < 5e-4, rel.max()
