@@ -16,7 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-# round-1 pin: samples/s on one TPU v5e chip, batch 8192, f32
+# round-1 pin: samples/s on one TPU v5e chip (first CSR measurement, batch 8192)
 # (first measured value of this implementation; vs_baseline = value / pin)
 PIN_SAMPLES_PER_S = 334719.0
 
@@ -45,7 +45,7 @@ def main():
                                  beta=0.5, kF=1.919, lam=1.0, dtype=dtype,
                                  sum_mode=sum_mode)
 
-    batch = int(os.environ.get("FDTPU_BENCH_BATCH", 8192))
+    batch = int(os.environ.get("FDTPU_BENCH_BATCH", 4096))
     rng = np.random.default_rng(0)
     varK = jax.device_put(rng.standard_normal((3, para.totalLoopNum, batch)).astype(np.float32))
     varT = jax.device_put((rng.random((para.totalLoopNum, batch)) * 0.5).astype(np.float32))
