@@ -41,9 +41,10 @@ def main():
     roots = [row["diagram"] for row in df]
     optimize_inplace(roots, level=1)
     sum_mode = os.environ.get("FDTPU_BENCH_SUM_MODE", "bucketed")
+    merge_threshold = int(os.environ.get("FDTPU_BENCH_MERGE", 0))
     compiled = compile_evaluator(roots, max_loop_num=para.totalLoopNum,
                                  beta=0.5, kF=1.919, lam=1.0, dtype=dtype,
-                                 sum_mode=sum_mode)
+                                 sum_mode=sum_mode, merge_threshold=merge_threshold)
 
     batch = int(os.environ.get("FDTPU_BENCH_BATCH", 4096))
     rng = np.random.default_rng(0)
@@ -100,6 +101,7 @@ def main():
             "num_edges": compiled.lowered.num_edges,
             "sum_mode": sum_mode,
             "fused": fused,
+            "merge_threshold": merge_threshold,
             "platform": jax.devices()[0].platform,
         },
     }

@@ -59,7 +59,8 @@ class CompiledEvaluator:
 def compile_evaluator(roots: Sequence[Graph], *, max_loop_num: int,
                       beta: float, kF: float, lam: float, dtype=jnp.float64,
                       interaction_convention: str = "lambda_power",
-                      jit: bool = True, sum_mode: str = "csr") -> CompiledEvaluator:
+                      jit: bool = True, sum_mode: str = "csr",
+                      merge_threshold: int = 0) -> CompiledEvaluator:
     """Lower ``roots`` and build the fused batched evaluator.
 
     - ``varK``: [dim, max_loop_num, batch] loop-momentum samples
@@ -67,7 +68,8 @@ def compile_evaluator(roots: Sequence[Graph], *, max_loop_num: int,
       in the graph ids index into rows of varT)
     """
     leafmap = leafmap_of(roots)
-    lowered = lower(roots, leafmap, sum_mode=sum_mode)
+    lowered = lower(roots, leafmap, sum_mode=sum_mode,
+                    merge_threshold=merge_threshold)
     tables = leaf_tables_from_lowered(lowered, leaf_graphs_of(roots), max_loop_num)
     leaf_fn = make_leaf_evaluator(tables, beta=beta, kF=kF, lam=lam, dtype=dtype,
                                   interaction_convention=interaction_convention)

@@ -112,9 +112,87 @@ class LoweredGraph:
         return len(self.levels)
 
 
+def _choose_buckets(groups: Dict[int, List[int]], merge_threshold: int
+                    ) -> List[Tuple[int, List[int]]]:
+    """Greedily merge adjacent-arity bucket groups when the padding cost
+    (extra edges) stays below ``merge_threshold`` — fewer, larger device ops.
+
+    ``groups``: padded-arity -> node list.  Returns [(arity, nodes)].
+    """
+    items = sorted((a, list(nodes)) for a, nodes in groups.items())
+    merged = True
+    while merged and len(items) > 1:
+        merged = False
+        best = None
+        for k in range(len(items) - 1):
+            a_lo, lo = items[k]
+            a_hi, hi = items[k + 1]
+            extra = (a_hi - a_lo) * len(lo)
+            if extra <= merge_threshold and (best is None or extra < best[0]):
+                best = (extra, k)
+        if best is not None:
+            _, k = best
+            a_hi = items[k + 1][0]
+            items[k + 1] = (a_hi, items[k][1] + items[k + 1][1])
+            del items[k]
+            merged = True
+    return items
+
+
+def _cse_records(recs: List[_Rec], root_recs: List[int]) -> List[int]:
+    """Value-preserving CSE over the postordered record table (in place).
+
+    Leaves keep their identity (distinct uids stay distinct inputs);
+    structurally identical internal nodes merge.  Uses the native graphcore
+    kernel when available (numpy/python fallback inside ``native.cse``).
+    Returns the remapped root indices.
+    """
+    from .. import native
+
+    n = len(recs)
+    ops = np.zeros(n, np.int8)
+    powers = np.zeros(n, np.int32)
+    prop = np.zeros(n, np.uint64)
+    counts = np.zeros(n, np.int64)
+    op_code = {"leaf": 0, "sum": 1, "prod": 2, "power": 3, "const": 4}
+    for i, r in enumerate(recs):
+        ops[i] = op_code[r.op]
+        powers[i] = r.power
+        if r.op == "leaf":
+            prop[i] = np.uint64(r.uid)  # leaves never merge with each other
+        elif r.op == "const":
+            prop[i] = np.frombuffer(np.float64(r.value).tobytes(),
+                                    dtype=np.uint64)[0]
+        counts[i] = len(r.children)
+    edge_ptr = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=edge_ptr[1:])
+    edge_src = np.zeros(int(edge_ptr[-1]), np.int64)
+    edge_fac = np.zeros(int(edge_ptr[-1]), np.float64)
+    for i, r in enumerate(recs):
+        s = edge_ptr[i]
+        for j, (c, f) in enumerate(zip(r.children, r.factors)):
+            edge_src[s + j] = c
+            edge_fac[s + j] = f
+
+    remap, _ = native.cse(ops, powers, prop, edge_ptr, edge_src, edge_fac)
+
+    new_index = {}
+    new_recs: List[_Rec] = []
+    for i, r in enumerate(recs):
+        if remap[i] != i:
+            continue
+        r.children = [new_index[remap[c]] for c in r.children]
+        new_index[i] = len(new_recs)
+        new_recs.append(r)
+    recs.clear()
+    recs.extend(new_recs)
+    return [new_index[int(remap[r])] for r in root_recs]
+
+
 def lower(roots: Sequence[Graph], leafmap: Optional[Dict[int, int]] = None,
           dtype=np.float64, *, sum_mode: str = "csr",
-          max_sum_arity: int = 64) -> LoweredGraph:
+          max_sum_arity: int = 64, merge_threshold: int = 0,
+          cse: bool = False) -> LoweredGraph:
     """Lower root graphs into a LoweredGraph.
 
     ``leafmap`` maps leaf uid -> leaf-value index; when given, leaf slot k
@@ -172,6 +250,10 @@ def lower(roots: Sequence[Graph], leafmap: Optional[Dict[int, int]] = None,
     finally:
         sys.setrecursionlimit(old_limit)
 
+    # ---- structural CSE on the flat records (native-accelerated)
+    if cse:
+        root_recs = _cse_records(recs, root_recs)
+
     # ---- binarize wide prods
     def binarize(r_idx: int) -> None:
         rec = recs[r_idx]
@@ -219,6 +301,12 @@ def lower(roots: Sequence[Graph], leafmap: Optional[Dict[int, int]] = None,
 
         for i in range(len(recs)):
             split_sum(i)
+
+    # a constant-one slot pads merged Prod buckets (multiplicative identity)
+    ones_rec = -1
+    if sum_mode == "bucketed" and merge_threshold > 0:
+        ones_rec = len(recs)
+        recs.append(_Rec("const", [], [], value=1.0))
 
     # ---- depth (level) computation, iterative topological
     depth = [0] * len(recs)
@@ -306,8 +394,7 @@ def lower(roots: Sequence[Graph], leafmap: Optional[Dict[int, int]] = None,
             by_arity: Dict[int, List[int]] = {}
             for i in sums:
                 by_arity.setdefault(pad_arity(len(recs[i].children)), []).append(i)
-            for a in sorted(by_arity):
-                group = by_arity[a]
+            for a, group in _choose_buckets(by_arity, merge_threshold):
                 start = next_slot
                 for k, i in enumerate(group):
                     slot_of[i] = start + k
@@ -323,13 +410,18 @@ def lower(roots: Sequence[Graph], leafmap: Optional[Dict[int, int]] = None,
                 sum_buckets.append(SumBucket(a, start, len(group), idx, fac))
 
         prod_plans: List[ProdPlan] = []
-        for arity in sorted(prods_by_arity):
-            group = prods_by_arity[arity]
+        if ones_rec >= 0 and merge_threshold > 0:
+            prod_groups = _choose_buckets(prods_by_arity, merge_threshold)
+        else:
+            prod_groups = [(a, prods_by_arity[a]) for a in sorted(prods_by_arity)]
+        for arity, group in prod_groups:
             start = next_slot
             for k, i in enumerate(group):
                 slot_of[i] = start + k
             next_slot += len(group)
-            idx = np.zeros((arity, len(group)), np.int32)
+            # padding entries multiply by the constant-one slot
+            pad_slot = slot_of[ones_rec] if ones_rec >= 0 else 0
+            idx = np.full((arity, len(group)), pad_slot, np.int32)
             fac = np.ones(len(group), dtype)
             for k, i in enumerate(group):
                 r = recs[i]

@@ -176,3 +176,24 @@ class TestPrecision:
         denom = np.maximum(np.abs(f64), 1e-3 * np.abs(f64).max())
         rel = np.abs(f32 - f64) / denom
         assert rel.max() < 5e-4, rel.max()
+
+
+class TestBucketMerging:
+    @pytest.mark.parametrize("threshold", [100, 10000])
+    def test_merged_matches_unmerged(self, threshold):
+        rng = random.Random(13)
+        leaves = [Graph([], properties=("leaf", i)) for i in range(6)]
+        roots = [random_dag(rng, leaves) for _ in range(3)]
+        leafmap = {leaf.id: i for i, leaf in enumerate(leaves)}
+        vals = np.asarray([rng.uniform(0.5, 1.5) for _ in range(6)])
+        base = lower(roots, leafmap, sum_mode="bucketed")
+        merged = lower(roots, leafmap, sum_mode="bucketed",
+                       merge_threshold=threshold)
+        got_base = np.asarray(make_evaluator(base)(vals))
+        got_merged = np.asarray(make_evaluator(merged)(vals))
+        np.testing.assert_allclose(got_merged, got_base, rtol=1e-10, atol=1e-12)
+        n_ops_base = sum(len(l.sum_buckets) + len(l.prods) + len(l.pows)
+                         for l in base.levels)
+        n_ops_merged = sum(len(l.sum_buckets) + len(l.prods) + len(l.pows)
+                           for l in merged.levels)
+        assert n_ops_merged <= n_ops_base
