@@ -34,7 +34,8 @@ def main():
     on_tpu = jax.devices()[0].platform != "cpu"
     dtype = jnp.float32 if on_tpu else jnp.float64
 
-    para = DiagPara(type=Ver4Diag, innerLoopNum=4, hasTau=True,
+    order = int(os.environ.get("FDTPU_BENCH_ORDER", 4))
+    para = DiagPara(type=Ver4Diag, innerLoopNum=order, hasTau=True,
                     filter=(NoHartree,),
                     interaction=(Interaction(ChargeCharge, Instant),))
     df = vertex4(para)
@@ -89,7 +90,7 @@ def main():
     samples_per_s = batch * iters / dt
     edges_per_s = compiled.lowered.num_edges * samples_per_s
     result = {
-        "metric": "mc_samples_per_s_order4_ver4",
+        "metric": f"mc_samples_per_s_order{order}_ver4",
         "value": round(samples_per_s, 1),
         "unit": "samples/s/chip",
         "vs_baseline": round(samples_per_s / PIN_SAMPLES_PER_S, 3),

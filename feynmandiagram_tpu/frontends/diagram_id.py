@@ -216,7 +216,8 @@ class Ver4Id(DiagramId):
         self.response = Response(response)
         self.type = AnalyticProperty(type)
         self.channel = TwoBodyChannel(chan)
-        self.extK = tuple(tuple(float(x) for x in ki) for ki in k)
+        self.extK = tuple(ki if isinstance(ki, tuple) else tuple(map(float, ki))
+                          for ki in k)
         self.extT = tuple(t)
 
     def _key_eq(self):

@@ -136,8 +136,33 @@ def update_extKT_inplace(diags: Sequence[Graph], para: DiagPara,
                 node.properties = reconstruct(prop, **updates)
 
 
+def _copy_graph_dag(diags: Sequence[Graph]) -> List[Graph]:
+    """Structure-preserving copy of a graph DAG sharing the (immutable)
+    property objects — update_extKT_inplace rebuilds the ids it changes, so
+    a deepcopy of every DiagPara/tuple inside them is wasted work."""
+    memo = {}
+
+    def rec(g: Graph) -> Graph:
+        out = memo.get(id(g))
+        if out is not None:
+            return out
+        out = Graph.__new__(Graph)
+        out.id = g.id
+        out.name = g.name
+        out.orders = list(g.orders)
+        out.subgraphs = [rec(s) for s in g.subgraphs]
+        out.subgraph_factors = list(g.subgraph_factors)
+        out.operator = g.operator
+        out.weight = g.weight
+        out.properties = g.properties
+        memo[id(g)] = out
+        return out
+
+    return [rec(g) for g in diags]
+
+
 def update_extKT(diags: Sequence[Graph], para: DiagPara, legK: Sequence[np.ndarray],
                  extra_loop_idx: Optional[int] = None) -> List[Graph]:
-    graphs = copy.deepcopy(list(diags))
+    graphs = _copy_graph_dag(diags)
     update_extKT_inplace(graphs, para, legK, extra_loop_idx)
     return graphs
