@@ -168,3 +168,82 @@ class TestPolarizationCounts:
         assert rows[0]["response"] == UpUp
         assert w * para.spin * (-1) ** (l - 1) == pytest.approx(
             benchmark.count_polar_g2v_noFock_upup(l, para.spin))
+
+
+class TestSigmaGVAndEpCoupling:
+    def test_sigma_gv_runs(self):
+        from feynmandiagram_tpu.frontends.parquet import sigmaGV
+        para = DiagPara(type=SigmaDiag, innerLoopNum=1, hasTau=True,
+                        filter=(NoHartree,),
+                        interaction=(Interaction(ChargeCharge, Instant),))
+        extK = np.zeros(para.totalLoopNum)
+        extK[0] = 1.0
+        rows = sigmaGV(para, extK, False)
+        assert len(rows) >= 1
+        for row in rows:
+            assert np.isfinite(eval_graph(row["diagram"]))
+
+    def test_ep_coupling_runs(self):
+        import warnings
+        from feynmandiagram_tpu.frontends.parquet import ep_coupling
+        from feynmandiagram_tpu.frontends import Dynamic
+        para = DiagPara(type=Ver4Diag, hasTau=True, innerLoopNum=2,
+                        interaction=(Interaction(ChargeCharge, [Instant, Dynamic]),))
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            rows = ep_coupling(para)
+        assert len(rows) >= 1
+        for row in rows:
+            assert np.isfinite(eval_graph(row["diagram"]))
+
+
+class TestADCrossValidation:
+    def test_taylor_first_order_equals_forward_ad_sum(self):
+        """taylorAD's (1,) coefficient with coefficient-leaves == 1 equals the
+        sum of forward-AD derivatives over all dependent leaves."""
+        from feynmandiagram_tpu.frontends import BareGreenId
+        from feynmandiagram_tpu.utility import taylorAD
+        from feynmandiagram_tpu.computational_graph import forward_ad
+
+        para = DiagPara(type=SigmaDiag, innerLoopNum=2, hasTau=True,
+                        filter=(NoHartree,),
+                        interaction=(Interaction(ChargeCharge, Instant),))
+        extK = np.zeros(para.totalLoopNum)
+        extK[0] = 1.0
+        df = sigma(para, extK, False)
+        root = mergeby(df)[0]["diagram"]
+
+        rng = np.random.default_rng(7)
+        leafmap, vals = {}, []
+        for leaf in root.leaves():
+            if leaf.id not in leafmap:
+                leafmap[leaf.id] = len(vals)
+                vals.append(rng.uniform(0.5, 1.5))
+
+        dict_g = taylorAD([root], [1],
+                          [lambda p: isinstance(p, BareGreenId)])
+        coeff = dict_g[(1,)][0]
+        # coefficient graphs introduce fresh derivative leaves; assign them 1
+        # (dG/dx == 1) and the base leaves their values
+        cmap, cvals = dict(leafmap), list(vals)
+        for leaf in coeff.leaves():
+            if leaf.id not in cmap:
+                cmap[leaf.id] = len(cvals)
+                cvals.append(1.0)
+        got = eval_graph(coeff, cmap, cvals)
+
+        expected = 0.0
+        for uid, idx in leafmap.items():
+            leaf = next(l for l in root.leaves() if l.id == uid)
+            if isinstance(leaf.properties, BareGreenId):
+                d = forward_ad(root, uid)
+                if isinstance(d, (int, float)):
+                    expected += d
+                else:
+                    dmap, dvals = dict(leafmap), list(vals)
+                    for l in d.leaves():
+                        if l.id not in dmap:
+                            dmap[l.id] = len(dvals)
+                            dvals.append(l.weight if l.operator.kind == "unitary" else 0.0)
+                    expected += eval_graph(d, dmap, dvals)
+        assert got == pytest.approx(expected, rel=1e-9)
