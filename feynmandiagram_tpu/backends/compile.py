@@ -60,12 +60,17 @@ def compile_evaluator(roots: Sequence[Graph], *, max_loop_num: int,
                       beta: float, kF: float, lam: float, dtype=jnp.float64,
                       interaction_convention: str = "lambda_power",
                       jit: bool = True, sum_mode: str = "csr",
-                      merge_threshold: int = 0) -> CompiledEvaluator:
+                      merge_threshold: int = 0, graph_dtype=None,
+                      acc_dtype=None) -> CompiledEvaluator:
     """Lower ``roots`` and build the fused batched evaluator.
 
     - ``varK``: [dim, max_loop_num, batch] loop-momentum samples
     - ``varT``: [num_tau, batch] imaginary-time samples (1-based tau indices
       in the graph ids index into rows of varT)
+    - ``graph_dtype``/``acc_dtype``: storage/accumulation dtypes of the graph
+      phase (default: ``dtype``).  ``graph_dtype=bfloat16, acc_dtype=float32``
+      halves the HBM traffic of the gather-bound graph phase while the leaf
+      physics and all accumulation stay f32.
     """
     leafmap = leafmap_of(roots)
     lowered = lower(roots, leafmap, sum_mode=sum_mode,
@@ -73,7 +78,8 @@ def compile_evaluator(roots: Sequence[Graph], *, max_loop_num: int,
     tables = leaf_tables_from_lowered(lowered, leaf_graphs_of(roots), max_loop_num)
     leaf_fn = make_leaf_evaluator(tables, beta=beta, kF=kF, lam=lam, dtype=dtype,
                                   interaction_convention=interaction_convention)
-    graph_fn = make_evaluator(lowered, dtype=dtype, jit=False)
+    graph_fn = make_evaluator(lowered, dtype=graph_dtype or dtype, jit=False,
+                              acc_dtype=acc_dtype)
 
     def fn(varK, varT):
         leaf_values = leaf_fn(varK, varT)

@@ -27,38 +27,51 @@ from .lowering import LoweredGraph, lower
 from ..computational_graph.graph import Graph
 
 
-def _eval_levels(lowered: LoweredGraph, w: jnp.ndarray) -> jnp.ndarray:
-    """Run all levels, returning the filled weight buffer [num_slots, batch]."""
+def _eval_levels(lowered: LoweredGraph, w: jnp.ndarray,
+                 acc_dtype=None) -> jnp.ndarray:
+    """Run all levels, returning the filled weight buffer [num_slots, batch].
+
+    ``acc_dtype`` (optional) widens arithmetic: gathered rows are upcast,
+    the op computes in ``acc_dtype``, and the block is stored back at
+    ``w.dtype``.  Used by the bf16-storage mode, where the HBM-resident
+    buffer (the bandwidth bottleneck) is half-width but sums/products still
+    accumulate in f32.
+    """
+    a = acc_dtype or w.dtype
     for level in lowered.levels:
         if level.sums is not None:
             s = level.sums
-            contrib = w[s.edge_src] * s.edge_factor[:, None].astype(w.dtype)
+            contrib = w[s.edge_src].astype(a) * s.edge_factor[:, None].astype(a)
             block = jax.ops.segment_sum(contrib, s.edge_seg, num_segments=s.count,
                                         indices_are_sorted=True)
             w = jax.lax.dynamic_update_slice_in_dim(w, block.astype(w.dtype), s.start, axis=0)
         for sb in level.sum_buckets:
             # dense gather + reduce over the padded fan-in axis (no scatter)
-            block = jnp.sum(w[sb.idx] * sb.fac[:, :, None].astype(w.dtype), axis=0)
-            w = jax.lax.dynamic_update_slice_in_dim(w, block, sb.start, axis=0)
+            block = jnp.sum(w[sb.idx].astype(a) * sb.fac[:, :, None].astype(a), axis=0)
+            w = jax.lax.dynamic_update_slice_in_dim(w, block.astype(w.dtype), sb.start, axis=0)
         for p in level.prods:
-            block = w[p.idx[0]]
-            for a in range(1, p.arity):
-                block = block * w[p.idx[a]]
-            block = block * p.factor[:, None].astype(w.dtype)
-            w = jax.lax.dynamic_update_slice_in_dim(w, block, p.start, axis=0)
+            block = w[p.idx[0]].astype(a)
+            for k in range(1, p.arity):
+                block = block * w[p.idx[k]].astype(a)
+            block = block * p.factor[:, None].astype(a)
+            w = jax.lax.dynamic_update_slice_in_dim(w, block.astype(w.dtype), p.start, axis=0)
         for pw in level.pows:
-            block = jax.lax.integer_pow(w[pw.src], pw.n) * pw.factor[:, None].astype(w.dtype)
-            w = jax.lax.dynamic_update_slice_in_dim(w, block, pw.start, axis=0)
+            block = jax.lax.integer_pow(w[pw.src].astype(a), pw.n) * pw.factor[:, None].astype(a)
+            w = jax.lax.dynamic_update_slice_in_dim(w, block.astype(w.dtype), pw.start, axis=0)
     return w
 
 
 def make_evaluator(lowered: LoweredGraph, *, dtype=jnp.float64, jit: bool = True,
-                   return_all: bool = False):
+                   return_all: bool = False, acc_dtype=None):
     """Build ``f(leaf_values[num_leaves, batch]) -> roots[num_roots, batch]``.
 
     ``leaf_values`` covers the non-constant leaf slots (0..nl-1); constant
     slots are appended internally.  With ``return_all`` the full weight
     buffer is returned (used by lowering-equivalence tests).
+
+    ``dtype=jnp.bfloat16, acc_dtype=jnp.float32`` selects the bf16-storage
+    mode: the weight buffer (the HBM bandwidth bottleneck) is half-width,
+    arithmetic accumulates in f32, outputs are returned in ``acc_dtype``.
     """
     num_slots = lowered.num_slots
     nl_total = lowered.num_leaves
@@ -77,10 +90,11 @@ def make_evaluator(lowered: LoweredGraph, *, dtype=jnp.float64, jit: bool = True
         if n_const:
             cv = jnp.broadcast_to(const_values[:, None], (n_const, batch))
             w = jax.lax.dynamic_update_slice_in_dim(w, cv, nl_input, axis=0)
-        w = _eval_levels(lowered, w)
+        w = _eval_levels(lowered, w, acc_dtype)
         if return_all:
             return w
-        return w[root_slots]
+        out = w[root_slots]
+        return out.astype(acc_dtype) if acc_dtype is not None else out
 
     return jax.jit(evaluate) if jit else evaluate
 

@@ -177,6 +177,38 @@ class TestPrecision:
         rel = np.abs(f32 - f64) / denom
         assert rel.max() < 5e-4, rel.max()
 
+    def test_bf16_storage_f32_acc(self):
+        """bf16-storage mode (half-width weight buffer, f32 accumulation):
+        typical outputs stay within ~1% of f64 (bf16 rounding per stored
+        level); cancellation-dominated outputs can be off by much more, which
+        is why this mode is for fast parameter scans, not final estimates."""
+        import jax.numpy as jnp
+        from feynmandiagram_tpu.frontends import ChargeCharge, Instant, NoHartree
+        from feynmandiagram_tpu.frontends.parquet import (DiagPara, Interaction,
+                                                          Ver4Diag, vertex4)
+        from feynmandiagram_tpu.computational_graph import optimize_inplace
+        from feynmandiagram_tpu.backends.compile import leafmap_of
+
+        para = DiagPara(type=Ver4Diag, innerLoopNum=2, hasTau=True,
+                        filter=(NoHartree,),
+                        interaction=(Interaction(ChargeCharge, Instant),))
+        df = vertex4(para)
+        roots = [row["diagram"] for row in df]
+        optimize_inplace(roots, level=1)
+        leafmap = leafmap_of(roots)
+        lowered = lower(roots, leafmap, sum_mode="bucketed")
+        rng = np.random.default_rng(2)
+        vals = rng.uniform(0.25, 4.0, (len(leafmap), 16))
+        f64 = np.asarray(make_evaluator(lowered, dtype=jnp.float64)(vals))
+        out = make_evaluator(lowered, dtype=jnp.bfloat16,
+                             acc_dtype=jnp.float32)(vals.astype(np.float32))
+        assert out.dtype == jnp.float32
+        mixed = np.asarray(out, np.float64)
+        denom = np.maximum(np.abs(f64), 1e-3 * np.abs(f64).max())
+        rel = np.abs(mixed - f64) / denom
+        assert np.median(rel) < 1e-2, np.median(rel)
+        assert rel.max() < 0.5, rel.max()
+
 
 class TestBucketMerging:
     @pytest.mark.parametrize("threshold", [100, 10000])
