@@ -172,3 +172,146 @@ def taylorAD(graphs: Sequence[Graph], deriv_orders: Sequence[int],
         for orders, graph in series.coeffs.items():
             dict_graphs.setdefault(tuple(orders), []).append(graph)
     return dict_graphs
+
+
+# ---------------------------------------------------------------------------
+# benchmark-only nested-forward AD (utility.jl:314-403): builds high-order
+# DERIVATIVES (not Taylor coefficients) by repeated single-variable forward
+# AD, used to cross-check the Taylor-series construction above.
+# ---------------------------------------------------------------------------
+
+def taylorexpansion_withmap(g: Graph, *, coeffmode: bool = True,
+                            var: Optional[List[bool]] = None):
+    """Taylor series of a LEAF graph plus a chain-rule map
+    {derivative-graph id -> {var idx -> next derivative graph}}
+    (utility.jl:268-306).
+
+    With ``coeffmode=False`` the series stores derivatives: each entry is a
+    fresh leaf (same ``properties``) that REPRESENTS the o-th derivative
+    D_o = o! * c_o of the underlying function, so the chain rule is a pure
+    leaf -> leaf map.  (The reference wraps a coefficient leaf with a
+    factorial factor instead, utility.jl:288-291; that wrapper does not
+    survive trivial-unary inlining here, so the derivative-valued leaf
+    convention is used — evaluators must assign such leaves the derivative
+    value, not the coefficient.)  Leaf orders stay at zero because
+    linear_combination requires uniform orders across mixed children; which
+    order a leaf represents is recovered from the returned series
+    (``series.coeffs[o].id``).
+    """
+    if not g.isleaf():
+        raise ValueError("taylorexpansion_withmap expects a leaf graph")
+    if var is None:
+        var = [True] * get_numvars()
+    chainrule_map_leaf: Dict[int, Dict[int, Graph]] = {}
+    zero = tuple([0] * get_numvars())
+    result = TaylorSeries()
+    result.coeffs[zero] = g
+    current: Dict[Tuple[int, ...], Graph] = {zero: g}
+    for _ in range(sum(get_orders())):
+        new_func: Dict[Tuple[int, ...], Graph] = {}
+        for order, func in current.items():
+            cmap = chainrule_map_leaf.setdefault(func.id, {})
+            for idx in range(get_numvars()):
+                if not var[idx]:
+                    continue
+                ordernew = list(order)
+                ordernew[idx] += 1
+                if ordernew[idx] > get_orders(idx):
+                    continue
+                o = tuple(ordernew)
+                if o not in result.coeffs:
+                    func_ad = Graph([], operator=SUM, properties=g.properties)
+                    new_func[o] = func_ad
+                    result.coeffs[o] = func_ad
+                    cmap[idx] = func_ad
+                else:
+                    cmap[idx] = result.coeffs[o]
+        current = new_func
+    return result, chainrule_map_leaf
+
+
+def forwardAD_taylor(g: Graph, varidx: int,
+                     chainrule_map_leaf: Dict[int, Dict[int, Graph]]
+                     ) -> Optional[Graph]:
+    """d(g)/d(var varidx) with leaf derivatives taken from the chain-rule map
+    (utility.jl:350-403); returns None when g does not depend on the variable.
+
+    Unlike the reference we keep sum factors aligned when some children drop
+    out, and preserve the subgraph factor in the Power(1) short-circuit
+    (latent misalignments at utility.jl:364-374, 389-396).
+    """
+    if g.id in chainrule_map_leaf:
+        return chainrule_map_leaf[g.id].get(varidx)
+    op = g.operator
+    if op.kind == "sum":
+        children, factors = [], []
+        for sub, f in zip(g.subgraphs, g.subgraph_factors):
+            d = forwardAD_taylor(sub, varidx, chainrule_map_leaf)
+            if d is not None:
+                children.append(d)
+                factors.append(f)
+        return linear_combination(children, factors) if children else None
+    if op.kind == "prod":
+        terms = []
+        for i, sub in enumerate(g.subgraphs):
+            d = forwardAD_taylor(sub, varidx, chainrule_map_leaf)
+            if d is not None:
+                subs = [d if j == i else s for j, s in enumerate(g.subgraphs)]
+                terms.append(Graph(subs, operator=g.operator,
+                                   subgraph_factors=list(g.subgraph_factors)))
+        return linear_combination(terms, [1] * len(terms)) if terms else None
+    if op.kind == "power":
+        from ..computational_graph.operators import decrement_power
+        d = forwardAD_taylor(g.subgraphs[0], varidx, chainrule_map_leaf)
+        if d is None:
+            return None
+        if op.n == 1:
+            return Graph([d], operator=SUM,
+                         subgraph_factors=[g.subgraph_factors[0]])
+        inner = Graph(list(g.subgraphs), operator=decrement_power(op),
+                      subgraph_factors=[op.n * g.subgraph_factors[0]])
+        return d * inner
+    raise ValueError(f"cannot differentiate operator {op}")
+
+
+def build_derivative_backAD(g: Graph,
+                            leaftaylor: Optional[Dict[int, TaylorSeries]] = None):
+    """High-order derivative tower of ``g`` by naive nested forward AD
+    (utility.jl:314-347).  Returns (TaylorSeries of DERIVATIVES, leaftaylor).
+
+    With derivative leaves (orders=o) assigned the o-th derivative of the
+    underlying leaf function, result.coeffs[o] evaluates to the o-th
+    derivative of g — i.e. taylor_factorial(o) times what the matching
+    ``taylorexpansion`` coefficient gives under coefficient-valued leaves;
+    the test suite cross-checks exactly that identity.
+    """
+    if leaftaylor is None:
+        leaftaylor = {}
+    chainrule_map_leaf: Dict[int, Dict[int, Graph]] = {}
+    for leaf in g.leaves():
+        if leaf.id not in leaftaylor:
+            leaftaylor[leaf.id], cmap = taylorexpansion_withmap(
+                leaf, coeffmode=False)
+            chainrule_map_leaf.update(cmap)
+
+    zero = tuple([0] * get_numvars())
+    result = TaylorSeries()
+    result.coeffs[zero] = g
+    current: Dict[Tuple[int, ...], Graph] = {zero: g}
+    for _ in range(sum(get_orders())):
+        new_func: Dict[Tuple[int, ...], Graph] = {}
+        for order, func in current.items():
+            for idx in range(get_numvars()):
+                ordernew = list(order)
+                ordernew[idx] += 1
+                if ordernew[idx] > get_orders(idx):
+                    continue
+                o = tuple(ordernew)
+                if o in result.coeffs:
+                    continue
+                func_ad = forwardAD_taylor(func, idx, chainrule_map_leaf)
+                if func_ad is not None:
+                    new_func[o] = func_ad
+                    result.coeffs[o] = func_ad
+        current = new_func
+    return result, leaftaylor

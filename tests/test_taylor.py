@@ -134,3 +134,66 @@ class TestTaylorAD:
         leaf_orders = {tuple(leaf.orders) for leaf in g10.leaves()
                        if isinstance(leaf.properties, BareGreenId)}
         assert (1, 0) in leaf_orders
+
+
+class TestBenchmarkAD:
+    """Nested-forward AD (build_derivative_backAD, utility.jl:314-403) must
+    agree with the Taylor-series construction: derivative(o) == o! * coeff(o).
+
+    Each leaf i is modeled as f_i(x, y) = v_i * exp(x + y): every derivative
+    of the leaf is v_i, and the Taylor coefficient at order o is v_i / o!."""
+
+    def _eval(self, graph, base, mode, leaftaylor=None):
+        # derivative-mode leaves carry zero orders; their order is recovered
+        # from leaftaylor (series.coeffs[o].id -> o)
+        order_of = {}
+        if leaftaylor is not None:
+            for series in leaftaylor.values():
+                for o, coeff in series.coeffs.items():
+                    order_of[coeff.id] = o
+        leafmap, vals = {}, []
+        for leaf in graph.leaves():
+            if leaf.operator.kind == "unitary" or leaf.id in leafmap:
+                continue
+            o = order_of.get(leaf.id, tuple(leaf.orders))
+            leafmap[leaf.id] = len(vals)
+            v = base[leaf.properties]
+            vals.append(v if mode == "deriv" else v / taylor_factorial(o))
+        return eval_graph(graph, leafmap, vals)
+
+    def test_matches_taylorexpansion(self):
+        from feynmandiagram_tpu.utility import (build_derivative_backAD,
+                                                taylorexpansion)
+
+        set_variables("x y", orders=[2, 2])
+        l1 = Graph([], properties=("leaf", 1))
+        l2 = Graph([], properties=("leaf", 2))
+        l3 = Graph([], properties=("leaf", 3))
+        g = (l1 + 2.0 * l2) * l3 + l1 * l1 * 0.5
+        base = {("leaf", 1): 1.3, ("leaf", 2): 0.7, ("leaf", 3): -0.4}
+
+        var_dep = {l.id: [True, True] for l in (l1, l2, l3)}
+        series, _ = taylorexpansion(g, var_dep)
+        deriv, leaftaylor = build_derivative_backAD(g)
+
+        assert set(deriv.coeffs) == set(series.coeffs)
+        for o, dgraph in deriv.coeffs.items():
+            want = taylor_factorial(o) * self._eval(series.coeffs[o], base, "coeff")
+            got = self._eval(dgraph, base, "deriv", leaftaylor)
+            assert got == pytest.approx(want, rel=1e-12), o
+
+    def test_power_operator(self):
+        from feynmandiagram_tpu.computational_graph import Power
+        from feynmandiagram_tpu.utility import (build_derivative_backAD,
+                                                taylorexpansion)
+
+        set_variables("x", orders=[3])
+        l1 = Graph([], properties=("leaf", 1))
+        g = Graph([l1], operator=Power(3), subgraph_factors=[2.0])
+        base = {("leaf", 1): 0.9}
+
+        series, _ = taylorexpansion(g, {l1.id: [True]})
+        deriv, leaftaylor = build_derivative_backAD(g)
+        for o, dgraph in deriv.coeffs.items():
+            want = taylor_factorial(o) * self._eval(series.coeffs[o], base, "coeff")
+            assert self._eval(dgraph, base, "deriv", leaftaylor) == pytest.approx(want, rel=1e-12), o
