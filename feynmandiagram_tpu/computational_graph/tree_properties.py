@@ -66,11 +66,19 @@ def count_leaves(g: Union[Graph, Sequence[Graph]]) -> int:
 def count_operation(g) -> List[int]:
     """Total [#adds, #muls] over unique nodes (id-deduplicated).
 
-    Accepts a Graph, a sequence of Graphs, or a dict of order -> Graph(s).
-    Reference: tree_properties.jl:165-237.
+    Accepts a Graph, a sequence of Graphs or TaylorSeries, a TaylorSeries
+    (counted over its coefficient graphs, utility.jl:423-440), or a dict of
+    order -> Graph(s).  Reference: tree_properties.jl:165-237.
     """
     if g is None:
         return [0, 0]
+    if hasattr(g, "coeffs"):  # TaylorSeries
+        return count_operation(g.coeffs)
+    if isinstance(g, (list, tuple)) and g and hasattr(g[0], "coeffs"):
+        out = []
+        for s in g:
+            out.extend(v for v in s.coeffs.values() if isinstance(v, Graph))
+        return count_operation(out)
     if isinstance(g, Graph):
         graphs: Iterable[Graph] = [g]
     elif isinstance(g, dict):
@@ -78,6 +86,8 @@ def count_operation(g) -> List[int]:
         for v in g.values():
             if isinstance(v, Graph):
                 graphs.append(v)
+            elif isinstance(v, (int, float, complex)):
+                continue
             else:
                 graphs.extend(v)
     elif isinstance(g, (int, float, complex)):

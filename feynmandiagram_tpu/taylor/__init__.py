@@ -171,6 +171,9 @@ class TaylorSeries:
         terms = ", ".join(f"{order}: {coeff}" for order, coeff in sorted(self.coeffs.items()))
         return f"TaylorSeries({terms})"
 
+    def __str__(self):
+        return pretty_print(self)
+
 
 # API-compatible aliases for the reference names
 getcoeff = TaylorSeries.get_coeff
@@ -198,3 +201,51 @@ def taylor_factorial(o: Sequence[int]) -> int:
     for a in o:
         result *= math.factorial(a)
     return result
+
+
+# ---------------------------------------------------------------------------
+# display (print.jl): monomials with superscript powers; numeric coefficients
+# printed sign-aware, Graph coefficients as g<id>
+# ---------------------------------------------------------------------------
+
+_SUPERSCRIPTS = "⁰¹²³⁴⁵⁶⁷⁸⁹"
+
+
+def _superscriptify(n: int) -> str:
+    return "".join(_SUPERSCRIPTS[int(d)] for d in str(n))
+
+
+def _monomial(order: Sequence[int]) -> str:
+    names = get_variable_names()
+    out = ""
+    for i, p in enumerate(order):
+        if p == 1:
+            out += f" {names[i]}"
+        elif p > 1:
+            out += f" {names[i]}{_superscriptify(p)}"
+    return out
+
+
+def pretty_print(series: TaylorSeries, big_o: bool = True) -> str:
+    """Human-readable polynomial form, e.g. `1.0 + 2.0 x y² + 𝒪(x³y³)`
+    (print.jl:126-199).  Graph-valued coefficients render as g<id>."""
+    parts: List[str] = []
+    for order in sorted(series.coeffs):
+        coeff = series.coeffs[order]
+        if isinstance(coeff, (int, float)):
+            if coeff == 0:
+                continue
+            sign = "- " if coeff < 0 else ("+ " if parts else "")
+            text = f"{sign}{abs(coeff)}"
+        elif isinstance(coeff, complex):
+            text = ("+ " if parts else "") + f"( {coeff} )"
+        else:  # graph-valued
+            text = ("+ " if parts else "") + f"g{coeff.id}"
+        parts.append(text + _monomial(order))
+    body = " ".join(parts) if parts else "0"
+    if big_o:
+        names = get_variable_names()
+        tail = "".join(f"{names[i]}{_superscriptify(o + 1)}"
+                       for i, o in enumerate(get_orders()))
+        return f"{body} + 𝒪({tail})"
+    return body

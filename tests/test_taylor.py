@@ -197,3 +197,36 @@ class TestBenchmarkAD:
         for o, dgraph in deriv.coeffs.items():
             want = taylor_factorial(o) * self._eval(series.coeffs[o], base, "coeff")
             assert self._eval(dgraph, base, "deriv", leaftaylor) == pytest.approx(want, rel=1e-12), o
+
+
+class TestDisplayAndMetrics:
+    def test_pretty_print_numeric(self):
+        from feynmandiagram_tpu.taylor import pretty_print
+        x, y = set_variables("x y", orders=[2, 2])
+        F = (1 + x) * (3 + 2 * y)
+        s = pretty_print(F, big_o=False)
+        assert "x y" in s and "3" in s
+        assert "𝒪" in str(F)
+
+    def test_pretty_print_graph_coeffs(self):
+        from feynmandiagram_tpu.taylor import pretty_print
+        set_variables("x", orders=[1])
+        l1 = Graph([], properties=("leaf", 1))
+        series, _ = __import__("feynmandiagram_tpu.utility", fromlist=["taylorexpansion"]).taylorexpansion(
+            l1, {l1.id: [True]})
+        s = pretty_print(series, big_o=False)
+        assert "g" in s and " x" in s
+
+    def test_count_operation_series(self):
+        from feynmandiagram_tpu.computational_graph import count_operation
+        from feynmandiagram_tpu.utility import taylorexpansion
+        set_variables("x", orders=[2])
+        l1 = Graph([], properties=("leaf", 1))
+        l2 = Graph([], properties=("leaf", 2))
+        g = l1 * l2 + l1
+        series, _ = taylorexpansion(g, {l1.id: [True], l2.id: [True]})
+        adds, muls = count_operation(series)
+        assert adds > 0 and muls > 0
+        # list-of-series form
+        adds2, muls2 = count_operation([series])
+        assert [adds2, muls2] == [adds, muls]
