@@ -33,6 +33,11 @@ def main():
 
     on_tpu = jax.devices()[0].platform != "cpu"
     dtype = jnp.float32 if on_tpu else jnp.float64
+    # optional bf16-storage scan mode (PARITY.md): FDTPU_BENCH_GRAPH_DTYPE=bf16
+    graph_dtype = (jnp.bfloat16
+                   if os.environ.get("FDTPU_BENCH_GRAPH_DTYPE") == "bf16"
+                   else None)
+    acc_dtype = jnp.float32 if graph_dtype is not None else None
 
     order = int(os.environ.get("FDTPU_BENCH_ORDER", 4))
     para = DiagPara(type=Ver4Diag, innerLoopNum=order, hasTau=True,
@@ -45,7 +50,8 @@ def main():
     merge_threshold = int(os.environ.get("FDTPU_BENCH_MERGE", 0))
     compiled = compile_evaluator(roots, max_loop_num=para.totalLoopNum,
                                  beta=0.5, kF=1.919, lam=1.0, dtype=dtype,
-                                 sum_mode=sum_mode, merge_threshold=merge_threshold)
+                                 sum_mode=sum_mode, merge_threshold=merge_threshold,
+                                 graph_dtype=graph_dtype, acc_dtype=acc_dtype)
 
     batch = int(os.environ.get("FDTPU_BENCH_BATCH", 4096))
     rng = np.random.default_rng(0)
