@@ -80,3 +80,14 @@ def short(x) -> str:
     if isinstance(x, AnalyticProperty):
         return {AnalyticProperty.Instant: "Ins", AnalyticProperty.Dynamic: "Dyn"}[x]
     return str(x)
+
+
+def vec_allclose(a, b, rtol: float = 1e-5, atol: float = 1e-8) -> bool:
+    """np.allclose semantics for short 1-D momentum vectors without ufunc
+    dispatch overhead (hot in parquet generation)."""
+    if len(a) != len(b):
+        return False
+    for x, y in zip(a, b):
+        if abs(x - y) > atol + rtol * abs(y):
+            return False
+    return True

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Tuple
 
+import numpy as _np
+
 from .common import AnalyticProperty, Dynamic, Instant, Response, TwoBodyChannel, AnyChan, short
 
 _ROUND = 8  # digits for hashing float momenta (values are small integers)
@@ -19,7 +21,10 @@ _ROUND = 8  # digits for hashing float momenta (values are small integers)
 def mirror_symmetrize(k: Sequence[float]) -> Tuple[float, ...]:
     """Canonicalize the momentum sign: first nonzero entry positive
     (diagram_id.jl:81-96)."""
-    k = tuple(float(x) for x in k)
+    if isinstance(k, _np.ndarray):
+        k = tuple(k.tolist())  # bulk conversion: this runs on every leaf id
+    else:
+        k = tuple(float(x) for x in k)
     for x in k:
         if x != 0:
             if x > 0:
@@ -197,7 +202,10 @@ class Ver3Id(DiagramId):
     def __init__(self, para, response: Response, *, k, t=(0, 0, 0)):
         self.para = para
         self.response = Response(response)
-        self.extK = tuple(tuple(float(x) for x in ki) for ki in k)
+        self.extK = tuple(
+            tuple(ki.tolist()) if isinstance(ki, _np.ndarray)
+            else tuple(float(x) for x in ki)
+            for ki in k)
         self.extT = tuple(t)
 
     def _key_eq(self):
@@ -216,8 +224,11 @@ class Ver4Id(DiagramId):
         self.response = Response(response)
         self.type = AnalyticProperty(type)
         self.channel = TwoBodyChannel(chan)
-        self.extK = tuple(ki if isinstance(ki, tuple) else tuple(map(float, ki))
-                          for ki in k)
+        self.extK = tuple(
+            ki if isinstance(ki, tuple)
+            else tuple(ki.tolist()) if isinstance(ki, _np.ndarray)
+            else tuple(map(float, ki))
+            for ki in k)
         self.extT = tuple(t)
 
     def _key_eq(self):

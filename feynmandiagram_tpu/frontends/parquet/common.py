@@ -4,6 +4,7 @@ Reference: /root/reference/src/frontend/parquet/common.jl.
 """
 from __future__ import annotations
 
+import functools
 import itertools
 from typing import List, Sequence, Tuple
 
@@ -44,7 +45,15 @@ def build(para: DiagPara, extK=None, subdiagram: bool = False, *,
 
 def ordered_partition(total: int, n: int, lowerbound: int = 1) -> List[List[int]]:
     """All ordered n-way partitions of ``total`` with parts >= lowerbound
-    (common.jl:28-45).  e.g. (5, 2) -> [[4,1],[1,4],[3,2],[2,3]]."""
+    (common.jl:28-45).  e.g. (5, 2) -> [[4,1],[1,4],[3,2],[2,3]].
+
+    Results are memoized (the recursion re-asks the same partitions at every
+    vertex of the parquet tree); the returned lists are fresh copies."""
+    return [list(p) for p in _ordered_partition_cached(total, n, lowerbound)]
+
+
+@functools.lru_cache(maxsize=None)
+def _ordered_partition_cached(total, n, lowerbound):
     if lowerbound < 0:
         raise ValueError("lowerbound must be >= 0")
     shifted = total - n * (lowerbound - 1)
@@ -68,8 +77,8 @@ def ordered_partition(total: int, n: int, lowerbound: int = 1) -> List[List[int]
         for perm in set(itertools.permutations(p)):
             if perm not in seen:
                 seen.add(perm)
-                result.append(list(perm))
-    return result
+                result.append(perm)
+    return tuple(result)
 
 
 def get_k(loop_num: int, loop_idx: int) -> np.ndarray:

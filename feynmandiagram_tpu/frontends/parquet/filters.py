@@ -4,7 +4,7 @@ from __future__ import annotations
 import numpy as np
 
 from . import DiagPara, GreenDiag
-from ..common import Filter, Girreducible, NoFock, NoHartree, NoBubble, Proper, Wirreducible
+from ..common import Filter, Girreducible, NoFock, NoHartree, NoBubble, Proper, Wirreducible, vec_allclose
 
 
 def not_proper(para: DiagPara, K) -> bool:
@@ -15,7 +15,7 @@ def not_proper(para: DiagPara, K) -> bool:
             raise ValueError("Initialize para.transferLoop to check proper diagrams.")
         K = np.asarray(K)
         t = np.asarray(transfer[:len(K)])
-        if np.allclose(t, K, rtol=1.49e-8):
+        if vec_allclose(t, K, rtol=1.49e-8):
             return True
     return False
 

@@ -10,7 +10,7 @@ import numpy as np
 
 from . import (DiagPara, GreenDiag, PolarDiag, Ver3Diag, ParquetBlocks,
                reconstruct_para, interaction_tau_num)
-from ..common import Proper, UpDown, UpUp
+from ..common import Proper, UpDown, UpUp, vec_allclose
 from ..diagram_id import PolarId
 from ...computational_graph import Graph, PROD, SUM
 from .common import find_first_loop_idx, find_first_tau_idx, ordered_partition
@@ -43,7 +43,7 @@ def polarization(para: DiagPara, extK=None, subdiagram: bool = False, *,
     K = np.zeros_like(extK)
     loop_idx = para.firstLoopIdx
     K[loop_idx - 1] = 1.0
-    if np.allclose(K, extK):
+    if vec_allclose(K, extK):
         raise ValueError("K and extK cannot be the same")
     t0 = para.firstTauIdx
     extT = (t0, t0 + 1) if para.hasTau else (t0, t0)

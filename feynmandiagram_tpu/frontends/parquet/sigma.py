@@ -12,7 +12,7 @@ import numpy as np
 from . import (DiagPara, GreenDiag, SigmaDiag, Ver4Diag, ParquetBlocks,
                reconstruct_para, interaction_tau_num, INL, OUTL, INR, OUTR)
 from ..common import (NoBubble, NoHartree, Proper, PHr, PHEr, PPr, Alli,
-                      UpUp, UpDown)
+                      UpUp, UpDown, vec_allclose)
 from ..diagram_id import SigmaId
 from ...computational_graph import Graph, PROD, SUM
 from .common import find_first_loop_idx, find_first_tau_idx, ordered_partition
@@ -51,7 +51,7 @@ def sigma(para: DiagPara, extK=None, subdiagram: bool = False, *,
     K = np.zeros_like(extK)
     loop_idx = para.firstLoopIdx
     K[loop_idx - 1] = 1.0
-    if np.allclose(K, extK):
+    if vec_allclose(K, extK):
         raise ValueError("K and extK cannot be the same")
     legK = [extK, K, K, extK]
 

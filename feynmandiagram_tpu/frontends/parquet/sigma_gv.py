@@ -14,7 +14,7 @@ import numpy as np
 
 from . import (DiagPara, GreenDiag, SigmaDiag, Ver3Diag, ParquetBlocks,
                reconstruct_para, interaction_tau_num, INL, OUTL, INR, OUTR)
-from ..common import Dynamic, NoBubble, NoHartree, Proper, UpDown, UpUp
+from ..common import Dynamic, NoBubble, NoHartree, Proper, UpDown, UpUp, vec_allclose
 from ..diagram_id import SigmaId
 from ...computational_graph import Graph, PROD, SUM
 from .common import find_first_loop_idx, find_first_tau_idx, get_k, ordered_partition
@@ -53,7 +53,7 @@ def sigmaGV(para: DiagPara, extK=None, subdiagram: bool = False, *,
     K = np.zeros_like(extK)
     loop_idx = para.firstLoopIdx
     K[loop_idx - 1] = 1.0
-    if np.allclose(K, extK):
+    if vec_allclose(K, extK):
         raise ValueError("K and extK cannot be the same")
     legK = [extK, K, K, extK]
 
