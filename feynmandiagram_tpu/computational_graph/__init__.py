@@ -31,4 +31,5 @@ from .io import stringrep, show_tree, plot_tree
 from .common_config import set_datatype, get_datatype
 from .feynman_graph import (FeynmanGraph, FeynmanProperties, DiagramType,
                             feynman_diagram, propagator, interaction, external_vertex,
-                            group_by_external)
+                            group_by_external, relabel, relabel_inplace, collect_labels,
+                            standardize_labels, standardize_labels_inplace)

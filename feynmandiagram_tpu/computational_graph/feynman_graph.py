@@ -362,6 +362,54 @@ def feynman_diagram(subgraphs: Sequence[FeynmanGraph], topology: Sequence[Sequen
                         factor=factor * sign, weight=weight)
 
 
+# ---------------------------------------------------------------------------
+# label transforms (transform.jl:13-96)
+# ---------------------------------------------------------------------------
+
+def relabel_inplace(g: FeynmanGraph, label_map: Dict[int, int],
+                    _seen: Optional[set] = None) -> FeynmanGraph:
+    """Relabel the quantum operators in ``g`` and its subgraphs per ``label_map``
+    (e.g. ``{1: 2, 3: 2}`` maps labels 1 and 3 to 2); reference transform.jl:13-27.
+
+    Unlike the reference (which deep-copies subgraphs in ``feynman_diagram``),
+    our builder shares OperatorProduct objects between a graph and its
+    subgraphs, so the map is applied once per unique product object.
+    """
+    if _seen is None:
+        _seen = set()
+    for op in vertices(g):
+        if id(op) in _seen:
+            continue
+        _seen.add(id(op))
+        for j, qo in enumerate(op.operators):
+            if qo.label in label_map:
+                op.operators[j] = QuantumOperator(qo.operator, label_map[qo.label])
+    for sub in g.subgraphs:
+        relabel_inplace(sub, label_map, _seen)
+    return g
+
+
+def relabel(g: FeynmanGraph, label_map: Dict[int, int]) -> FeynmanGraph:
+    """Copying variant of :func:`relabel_inplace` (transform.jl:39)."""
+    return relabel_inplace(copy.deepcopy(g), label_map)
+
+
+def collect_labels(g: FeynmanGraph) -> List[int]:
+    """Sorted unique operator labels in ``g``'s own vertices (transform.jl:49-63)."""
+    return sorted({qo.label for op in vertices(g) for qo in op.operators})
+
+
+def standardize_labels_inplace(g: FeynmanGraph) -> FeynmanGraph:
+    """Relabel so labels become (1, 2, 3, ...) in sorted order (transform.jl:76-85)."""
+    label_map = {lab: i + 1 for i, lab in enumerate(collect_labels(g))}
+    return relabel_inplace(g, label_map)
+
+
+def standardize_labels(g: FeynmanGraph) -> FeynmanGraph:
+    """Copying variant of :func:`standardize_labels_inplace` (transform.jl:96)."""
+    return standardize_labels_inplace(copy.deepcopy(g))
+
+
 def group_by_external(gv: Sequence[FeynmanGraph], indices: Sequence[int]
                       ) -> Dict[tuple, List[FeynmanGraph]]:
     """Group graphs by their external operators at ``indices`` (jl:661-675)."""

@@ -161,6 +161,38 @@ class TestFeynmanDiagram:
         assert external_operators(g) == expected
 
 
+class TestRelabel:
+    """Transcribed from computational_graph.jl:617-643 (0-based topology)."""
+
+    def test_relabel(self):
+        from feynmandiagram_tpu.computational_graph import relabel, collect_labels
+        V = [ops(fp(1), fm(2), phi(3)), ops(fp(4), fm(5), phi(6)),
+             ops(fp(7), fm(8), phi(9))]
+        g1 = feynman_diagram([interaction(v) for v in V], [[0, 4], [2, 8], [3, 7]])
+
+        g2 = relabel(g1, {3: 1, 4: 1, 5: 1, 9: 1, 8: 1})
+        assert collect_labels(g2) == [1, 2, 6, 7]
+        # original untouched by the copying variant
+        assert collect_labels(g1) == list(range(1, 10))
+
+        g3 = relabel(g1, {i: 1 for i in range(2, 10)})
+        assert collect_labels(g3) == [1]
+
+    def test_standardize_labels(self):
+        from feynmandiagram_tpu.computational_graph import (relabel,
+                                                            standardize_labels,
+                                                            collect_labels)
+        V = [ops(fp(1), fm(2), phi(3)), ops(fp(4), fm(5), phi(6)),
+             ops(fp(7), fm(8), phi(9)), fp(10)]
+        g1 = feynman_diagram(
+            [interaction(v) for v in V[:3]] + [external_vertex(V[3])],
+            [[0, 4], [2, 8], [3, 7], [1, 9]])
+
+        g2 = relabel(g1, {i: 11 - i for i in range(1, 6)})
+        g3 = standardize_labels(g2)
+        assert collect_labels(g3) == [1, 2, 3, 4, 5]
+
+
 class TestConversions:
     def test_to_graph(self):
         g1 = Graph([], factor=-1.0)
