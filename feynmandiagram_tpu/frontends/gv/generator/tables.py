@@ -364,6 +364,23 @@ def _sigma_block(perm, basis, sym, order, g_num, ver4_num, loop_num, vertype,
 def generate_free_energy(order: int, ver_order: int = 0, g_order: int = 0, *,
                          spin: int = 2, lnz=None) -> Optional[str]:
     """Generate FreeEnergy{order}_{ver}_{g}.diag (free_energy.py:231-359)."""
+    if order == 0:
+        # Zeroth order: the bare tr-ln-G0 loop with a g_order-th derivative
+        # counterterm on the single measuring propagator.  GType -1 marks the
+        # underived tr-ln measuring line (FreeEnergy0_0_0.diag convention).
+        if ver_order > 0:
+            return None
+        b = _DiagBlock()
+        b.add("Permutation", _fmt_row([0]))
+        b.add("SymFactor", " 1.0")
+        b.add("GType", _fmt_row([g_order if g_order > 0 else -1]))
+        b.add("VertexBasis", _fmt_row([0]), _fmt_row([0]))
+        b.add("LoopBasis", _fmt_row([1]))
+        b.add("Ver4Legs(InL,OutL,InR,OutR)")
+        b.add("WType(Direct,Exchange)")
+        b.add("SpinFactor", f"{-spin:2d} ")
+        return (_header("FreeEnergy", 1, 0, 1, 0, 1, 1, None, None)
+                + b.text() + "\n")
     g_num = 2 * order
     ver4_num = order
     loop_num = order + 1

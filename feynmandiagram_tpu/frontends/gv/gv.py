@@ -28,8 +28,6 @@ def _table_file(diag_type: str, order: int, v_order: int, g_order: int,
     if _TABLE_PATH:
         candidates.append(_TABLE_PATH)
     candidates.append(os.path.join(os.path.dirname(__file__), "tables"))
-    # dev fallback: the reference data directory when mounted (data contract)
-    candidates.append("/root/reference/src/frontend/GV_diagrams")
     if diag_type in ("vertex4", "vertex4I"):
         sub, prefix = "groups_vertex4", ("Vertex4I" if vertex4_irreducible else "Vertex4")
     else:

@@ -141,14 +141,22 @@ class TestPolarTables:
 
 
 class TestGreenTables:
-    @pytest.mark.parametrize("order,v,g", [(1, 0, 0), (2, 0, 0), (3, 0, 0)])
+    @pytest.mark.parametrize("order,v,g", [(0, 0, 0), (1, 0, 0), (2, 0, 0),
+                                           (3, 0, 0)])
     def test_vs_reference(self, order, v, g, tmp_path):
         _compare("green", "groups_green", "Green", generate_green, order, v, g,
                  tmp_path)
 
+    def test_order5_vs_reference(self, tmp_path):
+        # lattice sum is too expensive at order 5; the leaf==1 per-extT-group
+        # comparison still pins topology count, spin/sym factors, tau grouping
+        _compare("green", "groups_green", "Green", generate_green, 5, 0, 0,
+                 tmp_path, lattice=False)
+
 
 class TestFreeEnergyTables:
-    @pytest.mark.parametrize("order,v,g", [(2, 0, 0), (3, 0, 0)])
+    @pytest.mark.parametrize("order,v,g", [(0, 0, 0), (0, 0, 2), (2, 0, 0),
+                                           (3, 0, 0)])
     def test_vs_reference(self, order, v, g, tmp_path):
         _compare("freeEnergy", "groups_free_energy", "FreeEnergy",
                  generate_free_energy, order, v, g, tmp_path)
@@ -199,8 +207,9 @@ def _ver4_totals(path, lattice=False):
 
 
 class TestVertex4Tables:
-    @pytest.mark.parametrize("order", [1, 2])
-    def test_vs_reference(self, order, tmp_path):
+    @pytest.mark.parametrize("order,lattice", [(0, True), (1, True), (2, True),
+                                               (3, False)])
+    def test_vs_reference(self, order, lattice, tmp_path):
         ref_path = os.path.join(REF_TABLES, "groups_vertex4",
                                 f"Vertex4{order}_0_0.diag")
         if not os.path.exists(ref_path):
@@ -214,7 +223,24 @@ class TestVertex4Tables:
         assert set(got) == set(expected)
         for key in expected:
             assert got[key] == pytest.approx(expected[key]), key
-        got_l = _ver4_totals(gen_path, lattice=True)
-        exp_l = _ver4_totals(ref_path, lattice=True)
-        for key in exp_l:
-            assert got_l[key] == pytest.approx(exp_l[key], rel=1e-9), key
+        if lattice:
+            got_l = _ver4_totals(gen_path, lattice=True)
+            exp_l = _ver4_totals(ref_path, lattice=True)
+            for key in exp_l:
+                assert got_l[key] == pytest.approx(exp_l[key], rel=1e-9), key
+
+    def test_order4_bundled_vs_reference(self):
+        # order-4 generation takes ~2 min, so compare the bundled
+        # (pre-generated) table against the reference table instead
+        import feynmandiagram_tpu.frontends.gv as gvmod
+        bundled = os.path.join(os.path.dirname(gvmod.__file__), "tables",
+                               "groups_vertex4", "Vertex44_0_0.diag")
+        ref_path = os.path.join(REF_TABLES, "groups_vertex4",
+                                "Vertex44_0_0.diag")
+        if not (os.path.exists(bundled) and os.path.exists(ref_path)):
+            pytest.skip("table missing")
+        got = _ver4_totals(bundled)
+        expected = _ver4_totals(ref_path)
+        assert set(got) == set(expected)
+        for key in expected:
+            assert got[key] == pytest.approx(expected[key]), key
