@@ -61,7 +61,7 @@ def compile_evaluator(roots: Sequence[Graph], *, max_loop_num: int,
                       interaction_convention: str = "lambda_power",
                       jit: bool = True, sum_mode: str = "csr",
                       merge_threshold: int = 0, graph_dtype=None,
-                      acc_dtype=None) -> CompiledEvaluator:
+                      acc_dtype=None, cse: bool = True) -> CompiledEvaluator:
     """Lower ``roots`` and build the fused batched evaluator.
 
     - ``varK``: [dim, max_loop_num, batch] loop-momentum samples
@@ -74,7 +74,7 @@ def compile_evaluator(roots: Sequence[Graph], *, max_loop_num: int,
     """
     leafmap = leafmap_of(roots)
     lowered = lower(roots, leafmap, sum_mode=sum_mode,
-                    merge_threshold=merge_threshold)
+                    merge_threshold=merge_threshold, cse=cse)
     tables = leaf_tables_from_lowered(lowered, leaf_graphs_of(roots), max_loop_num)
     leaf_fn = make_leaf_evaluator(tables, beta=beta, kF=kF, lam=lam, dtype=dtype,
                                   interaction_convention=interaction_convention)
