@@ -49,6 +49,13 @@ def _eval_levels(lowered: LoweredGraph, w: jnp.ndarray,
             # dense gather + reduce over the padded fan-in axis (no scatter)
             block = jnp.sum(w[sb.idx].astype(a) * sb.fac[:, :, None].astype(a), axis=0)
             w = jax.lax.dynamic_update_slice_in_dim(w, block.astype(w.dtype), sb.start, axis=0)
+        for fb in level.fused:
+            # uniform sum-of-products: out[c] = sum_a fac[a,c] * prod_k w[idx[k,a,c]]
+            block = w[fb.idx[0]].astype(a) * fb.fac[:, :, None].astype(a)
+            for k in range(1, fb.n_op):
+                block = block * w[fb.idx[k]].astype(a)
+            block = jnp.sum(block, axis=0)
+            w = jax.lax.dynamic_update_slice_in_dim(w, block.astype(w.dtype), fb.start, axis=0)
         for p in level.prods:
             block = w[p.idx[0]].astype(a)
             for k in range(1, p.arity):

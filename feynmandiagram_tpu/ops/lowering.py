@@ -70,6 +70,25 @@ class SumBucket:
 
 
 @dataclass
+class FusedBucket:
+    """Sum-of-products: ``out[c] = sum_a fac[a, c] * prod_k w[idx[k, a, c]]``.
+
+    The uniform TPU primitive of ``sum_mode='fused'`` (the SDDMM-style fused
+    multiply-gather of the BASELINE north star): Sum nodes become arity-a
+    buckets of 1-operand terms; fan-out-1 Prod children are inlined as
+    multi-operand terms (their node slots disappear); standalone Prods are
+    single-term buckets.  Padding terms carry fac=0; padding operands point
+    at the constant-one slot (multiplicative identity).
+    """
+    arity: int               # padded number of terms per node
+    n_op: int                # padded number of operands per term
+    start: int
+    count: int
+    idx: np.ndarray          # [n_op, arity, count] int32
+    fac: np.ndarray          # [arity, count]
+
+
+@dataclass
 class ProdPlan:
     arity: int
     start: int
@@ -93,6 +112,7 @@ class LevelPlan:
     prods: List[ProdPlan]
     pows: List[PowerPlan]
     sum_buckets: List[SumBucket] = field(default_factory=list)
+    fused: List[FusedBucket] = field(default_factory=list)
 
 
 @dataclass
@@ -204,6 +224,11 @@ def lower(roots: Sequence[Graph], leafmap: Optional[Dict[int, int]] = None,
     - 'bucketed': wide sums are pre-split to fan-in <= max_sum_arity and
       grouped by padded power-of-two arity into dense gather+reduce buckets
       (no scatter; the TPU-friendly mode)
+    - 'fused': like 'bucketed', but fan-out-1 Prod children of Sum nodes are
+      inlined as multi-operand terms of one uniform sum-of-products primitive
+      (FusedBucket).  In parquet graphs ~80% of Prod nodes are fan-out-1
+      (G*W products under mergeby Sums), so this removes most intermediate
+      node materialization — the fastest mode on TPU.
     """
     # ---- collect records (object-identity traversal; leaves dedup by uid)
     recs: List[_Rec] = []
@@ -277,8 +302,8 @@ def lower(roots: Sequence[Graph], leafmap: Optional[Dict[int, int]] = None,
     for i in range(len(recs)):
         binarize(i)
 
-    # ---- split wide sums for the bucketed mode
-    if sum_mode == "bucketed":
+    # ---- split wide sums for the bucketed/fused modes
+    if sum_mode in ("bucketed", "fused"):
         def split_sum(r_idx: int) -> None:
             rec = recs[r_idx]
             while rec.op == "sum" and len(rec.children) > max_sum_arity:
@@ -302,11 +327,61 @@ def lower(roots: Sequence[Graph], leafmap: Optional[Dict[int, int]] = None,
         for i in range(len(recs)):
             split_sum(i)
 
-    # a constant-one slot pads merged Prod buckets (multiplicative identity)
+    # a constant-one slot pads merged Prod buckets and fused-bucket operands
+    # (multiplicative identity)
     ones_rec = -1
-    if sum_mode == "bucketed" and merge_threshold > 0:
+    if sum_mode == "fused" or (sum_mode == "bucketed" and merge_threshold > 0):
         ones_rec = len(recs)
         recs.append(_Rec("const", [], [], value=1.0))
+
+    # ---- fused mode: decide which Prod records inline into their Sum parent
+    inline_set: set = set()
+    if sum_mode == "fused":
+        n_use = [0] * len(recs)
+        consumer = [-1] * len(recs)
+        for i, r in enumerate(recs):
+            for c in r.children:
+                n_use[c] += 1
+                consumer[c] = i
+        root_set = set(root_recs)
+        for i, r in enumerate(recs):
+            if (r.op == "prod" and i not in root_set and n_use[i] == 1
+                    and 1 <= len(r.children) <= MAX_PROD_ARITY
+                    and recs[consumer[i]].op == "sum"):
+                inline_set.add(i)
+
+    def eff_children(i: int) -> List[int]:
+        """Operand edges of record i after inlining (fused mode)."""
+        r = recs[i]
+        if not inline_set or r.op != "sum":
+            return r.children
+        out: List[int] = []
+        for c in r.children:
+            if c in inline_set:
+                out.extend(recs[c].children)
+            else:
+                out.append(c)
+        return out
+
+    def terms_of(i: int) -> List[Tuple[List[int], float]]:
+        """Sum-of-products term list of record i: [(operand recs, coeff)]."""
+        r = recs[i]
+        if r.op == "sum":
+            terms = []
+            for c, f in zip(r.children, r.factors):
+                if c in inline_set:
+                    rc = recs[c]
+                    coeff = f
+                    for fk in rc.factors:
+                        coeff *= fk
+                    terms.append((list(rc.children), coeff))
+                else:
+                    terms.append(([c], f))
+            return terms
+        coeff = 1.0
+        for fk in r.factors:
+            coeff *= fk
+        return [(list(r.children), coeff)]
 
     # ---- depth (level) computation, iterative topological
     depth = [0] * len(recs)
@@ -318,14 +393,14 @@ def lower(roots: Sequence[Graph], leafmap: Optional[Dict[int, int]] = None,
         while stack:
             i, expanded = stack.pop()
             if expanded:
-                rec = recs[i]
-                depth[i] = 0 if not rec.children else 1 + max(depth[c] for c in rec.children)
+                ch = eff_children(i)
+                depth[i] = 0 if not ch else 1 + max(depth[c] for c in ch)
                 state[i] = 1
                 continue
             if state[i]:
                 continue
             stack.append((i, True))
-            for c in recs[i].children:
+            for c in eff_children(i):
                 if not state[c]:
                     stack.append((c, False))
 
@@ -353,17 +428,57 @@ def lower(roots: Sequence[Graph], leafmap: Optional[Dict[int, int]] = None,
     next_slot = num_leaf_slots
     num_edges = 0
 
+    def pad_pow2(n: int) -> int:
+        a = 1
+        while a < n:
+            a *= 2
+        return a
+
     for lev in range(1, max_depth + 1):
-        nodes = [i for i, r in enumerate(recs) if depth[i] == lev and r.op in ("sum", "prod", "power")]
+        nodes = [i for i, r in enumerate(recs)
+                 if depth[i] == lev and i not in inline_set
+                 and r.op in ("sum", "prod", "power")]
         sums = [i for i in nodes if recs[i].op == "sum"]
         prods_by_arity: Dict[int, List[int]] = {}
         pows_by_n: Dict[int, List[int]] = {}
         for i in nodes:
             r = recs[i]
             if r.op == "prod":
-                prods_by_arity.setdefault(len(r.children), []).append(i)
+                if sum_mode != "fused":
+                    prods_by_arity.setdefault(len(r.children), []).append(i)
             elif r.op == "power":
                 pows_by_n.setdefault(r.power, []).append(i)
+
+        fused_buckets: List[FusedBucket] = []
+        if sum_mode == "fused":
+            # sums AND standalone prods all lower to the uniform primitive,
+            # grouped by (padded term count, max operands per term)
+            by_key: Dict[Tuple[int, int], List[int]] = {}
+            node_terms: Dict[int, List[Tuple[List[int], float]]] = {}
+            for i in nodes:
+                if recs[i].op == "power":
+                    continue
+                terms = terms_of(i)
+                node_terms[i] = terms
+                key = (pad_pow2(len(terms)), max(len(ops) for ops, _ in terms))
+                by_key.setdefault(key, []).append(i)
+            for (arity, n_op), group in sorted(by_key.items()):
+                start = next_slot
+                for k, i in enumerate(group):
+                    slot_of[i] = start + k
+                next_slot += len(group)
+                ones_slot = slot_of[ones_rec]
+                idx = np.full((n_op, arity, len(group)), ones_slot, np.int32)
+                fac = np.zeros((arity, len(group)), dtype)
+                for k, i in enumerate(group):
+                    for a, (ops, coeff) in enumerate(node_terms[i]):
+                        fac[a, k] = coeff
+                        for m, c in enumerate(ops):
+                            idx[m, a, k] = slot_of[c]
+                        num_edges += len(ops)
+                fused_buckets.append(
+                    FusedBucket(arity, n_op, start, len(group), idx, fac))
+            sums = []
 
         sum_plan = None
         sum_buckets: List[SumBucket] = []
@@ -443,7 +558,8 @@ def lower(roots: Sequence[Graph], leafmap: Optional[Dict[int, int]] = None,
             num_edges += len(group)
             pow_plans.append(PowerPlan(n, start, len(group), src, fac))
 
-        levels.append(LevelPlan(sum_plan, prod_plans, pow_plans, sum_buckets))
+        levels.append(LevelPlan(sum_plan, prod_plans, pow_plans, sum_buckets,
+                                fused_buckets))
 
     leaf_uid_to_slot = {recs[i].uid: slot_of[i] for i in leaf_recs}
     return LoweredGraph(

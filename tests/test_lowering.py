@@ -149,6 +149,88 @@ class TestBucketedSums:
         assert out[0, 0] == pytest.approx(expected)
 
 
+class TestFusedMode:
+    """sum_mode='fused': the uniform sum-of-products primitive must agree
+    with the CSR lowering on arbitrary DAGs and on real parquet graphs."""
+
+    @pytest.mark.parametrize("seed", [1, 2, 7, 11])
+    def test_fused_matches_csr_random(self, seed):
+        rng = random.Random(seed)
+        leaves = [Graph([], properties=("leaf", i)) for i in range(6)]
+        roots = [random_dag(rng, leaves) for _ in range(3)]
+        leafmap = {leaf.id: i for i, leaf in enumerate(leaves)}
+        vals = np.asarray([rng.uniform(0.5, 1.5) for _ in range(6)])
+        csr = lower(roots, leafmap, sum_mode="csr")
+        fused = lower(roots, leafmap, sum_mode="fused", max_sum_arity=4)
+        got_csr = np.asarray(make_evaluator(csr)(vals))
+        got_f = np.asarray(make_evaluator(fused)(vals))
+        np.testing.assert_allclose(got_f, got_csr, rtol=1e-10, atol=1e-12)
+
+    def test_inlines_fanout1_prods(self):
+        """A Sum over two exclusive 2-Prods lowers to a single fused bucket:
+        no intermediate slots for the Prods."""
+        leaves = [Graph([], properties=i) for i in range(4)]
+        p1 = Graph(leaves[:2], subgraph_factors=[2.0, 1.0], operator=PROD)
+        p2 = Graph(leaves[2:], subgraph_factors=[1.0, -1.0], operator=PROD)
+        s = Graph([p1, p2], subgraph_factors=[1.0, 3.0], operator=SUM)
+        leafmap = {leaf.id: i for i, leaf in enumerate(leaves)}
+        lowered = lower([s], leafmap, sum_mode="fused")
+        # slots: 4 leaves + ones const + 1 fused sum node (no prod slots)
+        assert lowered.num_slots == 6
+        vals = np.asarray([1.5, 2.0, 3.0, 4.0])
+        out = np.asarray(make_evaluator(lowered)(vals))
+        assert out[0, 0] == pytest.approx(2.0 * 1.5 * 2.0 + 3.0 * (3.0 * -4.0))
+
+    def test_shared_prod_not_inlined(self):
+        """A Prod read by two Sums keeps its own slot (computed once)."""
+        leaves = [Graph([], properties=i) for i in range(2)]
+        p = Graph(leaves, subgraph_factors=[1.0, 1.0], operator=PROD)
+        s1 = Graph([p, leaves[0]], subgraph_factors=[1.0, 1.0], operator=SUM)
+        s2 = Graph([p, leaves[1]], subgraph_factors=[2.0, 1.0], operator=SUM)
+        leafmap = {leaf.id: i for i, leaf in enumerate(leaves)}
+        lowered = lower([s1, s2], leafmap, sum_mode="fused")
+        vals = np.asarray([3.0, 5.0])
+        out = np.asarray(make_evaluator(lowered)(vals))
+        np.testing.assert_allclose(out[:, 0], [15.0 + 3.0, 30.0 + 5.0])
+
+    def test_root_prod_not_inlined(self):
+        """A root Prod must keep its slot even if it is also a Sum child."""
+        leaves = [Graph([], properties=i) for i in range(2)]
+        p = Graph(leaves, subgraph_factors=[1.0, 1.0], operator=PROD)
+        s = Graph([p], subgraph_factors=[2.0], operator=SUM)
+        leafmap = {leaf.id: i for i, leaf in enumerate(leaves)}
+        lowered = lower([s, p], leafmap, sum_mode="fused")
+        vals = np.asarray([3.0, 5.0])
+        out = np.asarray(make_evaluator(lowered)(vals))
+        np.testing.assert_allclose(out[:, 0], [30.0, 15.0])
+
+    def test_fused_order2_sigma(self):
+        """Order-2 sigma via parquet: fused == csr on physical-ish leaves."""
+        from feynmandiagram_tpu.frontends import (ChargeCharge, Instant,
+                                                  NoHartree)
+        from feynmandiagram_tpu.frontends.parquet import (DiagPara,
+                                                          Interaction,
+                                                          SigmaDiag, sigma)
+        from feynmandiagram_tpu.computational_graph import optimize_inplace
+
+        para = DiagPara(type=SigmaDiag, innerLoopNum=2, hasTau=True,
+                        filter=(NoHartree,),
+                        interaction=(Interaction(ChargeCharge, Instant),))
+        df = sigma(para)
+        roots = [row["diagram"] for row in df]
+        optimize_inplace(roots, level=1)
+        from feynmandiagram_tpu.backends.compile import leafmap_of
+        leafmap = leafmap_of(roots)
+        rng = np.random.default_rng(0)
+        vals = rng.standard_normal((len(leafmap), 5))
+        csr = lower(roots, leafmap, sum_mode="csr", cse=True)
+        fused = lower(roots, leafmap, sum_mode="fused", cse=True)
+        got_csr = np.asarray(make_evaluator(csr)(vals))
+        got_f = np.asarray(make_evaluator(fused)(vals))
+        np.testing.assert_allclose(got_f, got_csr, rtol=1e-10, atol=1e-12)
+        assert fused.num_slots < csr.num_slots
+
+
 class TestPrecision:
     def test_f32_vs_f64_order3_ver4(self):
         """Quantify f32 (TPU) vs f64 error on a real parquet graph
