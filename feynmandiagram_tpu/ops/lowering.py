@@ -212,7 +212,7 @@ def _cse_records(recs: List[_Rec], root_recs: List[int]) -> List[int]:
 def lower(roots: Sequence[Graph], leafmap: Optional[Dict[int, int]] = None,
           dtype=np.float64, *, sum_mode: str = "csr",
           max_sum_arity: int = 64, merge_threshold: int = 0,
-          cse: bool = False) -> LoweredGraph:
+          cse: bool = False, reuse_slots: Optional[bool] = None) -> LoweredGraph:
     """Lower root graphs into a LoweredGraph.
 
     ``leafmap`` maps leaf uid -> leaf-value index; when given, leaf slot k
@@ -229,6 +229,13 @@ def lower(roots: Sequence[Graph], leafmap: Optional[Dict[int, int]] = None,
       (FusedBucket).  In parquet graphs ~80% of Prod nodes are fan-out-1
       (G*W products under mergeby Sums), so this removes most intermediate
       node materialization — the fastest mode on TPU.
+
+    ``reuse_slots`` (fused mode only; default on for 'fused'): recycle the
+    slot of an internal node once the last level reading it has run, with a
+    contiguous-interval free list.  Shrinks the device weight buffer to
+    roughly the live working set (~3x on order-4 vertex4, far more on
+    order-6), cutting buffer-init traffic and HBM footprint — required for
+    graphs whose full slot count exceeds per-chip HBM (BASELINE config 5).
     """
     # ---- collect records (object-identity traversal; leaves dedup by uid)
     recs: List[_Rec] = []
@@ -434,7 +441,87 @@ def lower(roots: Sequence[Graph], leafmap: Optional[Dict[int, int]] = None,
             a *= 2
         return a
 
+    # ---- slot recycling (fused mode): liveness + contiguous-interval pool
+    if reuse_slots is None:
+        reuse_slots = sum_mode == "fused"
+    if reuse_slots and sum_mode != "fused":
+        raise ValueError("reuse_slots requires sum_mode='fused'")
+    PINNED = 1 << 30
+    last_read = [0] * len(recs)
+    if reuse_slots:
+        for i in range(len(recs)):
+            if i in inline_set:
+                continue
+            for c in eff_children(i):
+                if depth[i] > last_read[c]:
+                    last_read[c] = depth[i]
+        for r in root_recs:
+            last_read[r] = PINNED
+        if ones_rec >= 0:
+            last_read[ones_rec] = PINNED
+
+    class _SlotPool:
+        """Contiguous-interval first-fit allocator over recycled slots."""
+
+        def __init__(self, top: int):
+            self.top = top
+            self.intervals: List[List[int]] = []  # sorted [start, end)
+            self.pending: List[int] = []
+
+        def free(self, slots: List[int]) -> None:
+            self.pending.extend(slots)
+
+        def _merge(self) -> None:
+            if not self.pending:
+                return
+            ivs = self.intervals + [[p, p + 1] for p in self.pending]
+            self.pending = []
+            ivs.sort()
+            merged: List[List[int]] = []
+            for s, e in ivs:
+                if merged and s <= merged[-1][1]:
+                    if e > merged[-1][1]:
+                        merged[-1][1] = e
+                else:
+                    merged.append([s, e])
+            self.intervals = merged
+
+        def alloc(self, count: int) -> int:
+            self._merge()
+            for k, (s, e) in enumerate(self.intervals):
+                if e - s >= count:
+                    if e - s == count:
+                        del self.intervals[k]
+                    else:
+                        self.intervals[k][0] = s + count
+                    return s
+            s = self.top
+            self.top += count
+            return s
+
+    pool = _SlotPool(num_leaf_slots)
+    free_events: Dict[int, List[int]] = {}
+
+    def alloc_group(group: List[int], lev: int) -> int:
+        """Assign a contiguous slot range to ``group``; register liveness."""
+        nonlocal next_slot
+        if reuse_slots:
+            start = pool.alloc(len(group))
+        else:
+            start = next_slot
+        next_slot += len(group)
+        for k, i in enumerate(group):
+            slot_of[i] = start + k
+            if reuse_slots and last_read[i] != PINNED:
+                free_events.setdefault(last_read[i], []).append(start + k)
+        return start
+
     for lev in range(1, max_depth + 1):
+        if reuse_slots:
+            # slots last read before this level are free for its outputs
+            for fl in list(free_events):
+                if fl < lev:
+                    pool.free(free_events.pop(fl))
         nodes = [i for i, r in enumerate(recs)
                  if depth[i] == lev and i not in inline_set
                  and r.op in ("sum", "prod", "power")]
@@ -452,7 +539,8 @@ def lower(roots: Sequence[Graph], leafmap: Optional[Dict[int, int]] = None,
         fused_buckets: List[FusedBucket] = []
         if sum_mode == "fused":
             # sums AND standalone prods all lower to the uniform primitive,
-            # grouped by (padded term count, max operands per term)
+            # grouped by (padded term count, max operands per term); arity is
+            # exact up to 8 (padding reads are real gather traffic), then pow2
             by_key: Dict[Tuple[int, int], List[int]] = {}
             node_terms: Dict[int, List[Tuple[List[int], float]]] = {}
             for i in nodes:
@@ -460,13 +548,14 @@ def lower(roots: Sequence[Graph], leafmap: Optional[Dict[int, int]] = None,
                     continue
                 terms = terms_of(i)
                 node_terms[i] = terms
-                key = (pad_pow2(len(terms)), max(len(ops) for ops, _ in terms))
+                a = len(terms)
+                key = (a if a <= 8 else pad_pow2(a),
+                       max(len(ops) for ops, _ in terms))
                 by_key.setdefault(key, []).append(i)
-            for (arity, n_op), group in sorted(by_key.items()):
-                start = next_slot
-                for k, i in enumerate(group):
-                    slot_of[i] = start + k
-                next_slot += len(group)
+            # allocate large groups first (less free-pool fragmentation)
+            for (arity, n_op), group in sorted(
+                    by_key.items(), key=lambda kv: -len(kv[1])):
+                start = alloc_group(group, lev)
                 ones_slot = slot_of[ones_rec]
                 idx = np.full((n_op, arity, len(group)), ones_slot, np.int32)
                 fac = np.zeros((arity, len(group)), dtype)
@@ -549,10 +638,13 @@ def lower(roots: Sequence[Graph], leafmap: Optional[Dict[int, int]] = None,
         pow_plans: List[PowerPlan] = []
         for n in sorted(pows_by_n):
             group = pows_by_n[n]
-            start = next_slot
-            for k, i in enumerate(group):
-                slot_of[i] = start + k
-            next_slot += len(group)
+            if sum_mode == "fused":
+                start = alloc_group(group, lev)
+            else:
+                start = next_slot
+                for k, i in enumerate(group):
+                    slot_of[i] = start + k
+                next_slot += len(group)
             src = np.asarray([slot_of[recs[i].children[0]] for i in group], np.int32)
             fac = np.asarray([recs[i].factors[0] for i in group], dtype)
             num_edges += len(group)
@@ -563,7 +655,7 @@ def lower(roots: Sequence[Graph], leafmap: Optional[Dict[int, int]] = None,
 
     leaf_uid_to_slot = {recs[i].uid: slot_of[i] for i in leaf_recs}
     return LoweredGraph(
-        num_slots=next_slot,
+        num_slots=pool.top if reuse_slots else next_slot,
         num_leaves=num_leaf_slots,
         levels=levels,
         root_slots=np.asarray([slot_of[r] for r in root_recs], np.int32),
