@@ -46,7 +46,7 @@ def main():
     df = vertex4(para)
     roots = [row["diagram"] for row in df]
     optimize_inplace(roots, level=1)
-    sum_mode = os.environ.get("FDTPU_BENCH_SUM_MODE", "bucketed")
+    sum_mode = os.environ.get("FDTPU_BENCH_SUM_MODE", "fused")
     merge_threshold = int(os.environ.get("FDTPU_BENCH_MERGE", 0))
     compiled = compile_evaluator(roots, max_loop_num=para.totalLoopNum,
                                  beta=0.5, kF=1.919, lam=1.0, dtype=dtype,

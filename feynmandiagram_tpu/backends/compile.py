@@ -57,9 +57,9 @@ class CompiledEvaluator:
 
 
 def compile_evaluator(roots: Sequence[Graph], *, max_loop_num: int,
-                      beta: float, kF: float, lam: float, dtype=jnp.float64,
+                      beta: float, kF: float, lam: float, dtype=None,
                       interaction_convention: str = "lambda_power",
-                      jit: bool = True, sum_mode: str = "csr",
+                      jit: bool = True, sum_mode: str = "fused",
                       merge_threshold: int = 0, graph_dtype=None,
                       acc_dtype=None, cse: bool = True) -> CompiledEvaluator:
     """Lower ``roots`` and build the fused batched evaluator.
@@ -67,11 +67,17 @@ def compile_evaluator(roots: Sequence[Graph], *, max_loop_num: int,
     - ``varK``: [dim, max_loop_num, batch] loop-momentum samples
     - ``varT``: [num_tau, batch] imaginary-time samples (1-based tau indices
       in the graph ids index into rows of varT)
+    - ``dtype``: device dtype (default: f64 under x64, f32 on TPU)
+    - ``sum_mode``: lowering strategy (see ``ops.lowering.lower``); the
+      default ``'fused'`` (with slot reuse) is the fastest validated mode
     - ``graph_dtype``/``acc_dtype``: storage/accumulation dtypes of the graph
       phase (default: ``dtype``).  ``graph_dtype=bfloat16, acc_dtype=float32``
       halves the HBM traffic of the gather-bound graph phase while the leaf
       physics and all accumulation stay f32.
     """
+    if dtype is None:
+        from ..ops.dtypes import default_device_dtype
+        dtype = default_device_dtype()
     leafmap = leafmap_of(roots)
     lowered = lower(roots, leafmap, sum_mode=sum_mode,
                     merge_threshold=merge_threshold, cse=cse)

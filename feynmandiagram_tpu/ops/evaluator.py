@@ -68,7 +68,7 @@ def _eval_levels(lowered: LoweredGraph, w: jnp.ndarray,
     return w
 
 
-def make_evaluator(lowered: LoweredGraph, *, dtype=jnp.float64, jit: bool = True,
+def make_evaluator(lowered: LoweredGraph, *, dtype=None, jit: bool = True,
                    return_all: bool = False, acc_dtype=None):
     """Build ``f(leaf_values[num_leaves, batch]) -> roots[num_roots, batch]``.
 
@@ -80,6 +80,9 @@ def make_evaluator(lowered: LoweredGraph, *, dtype=jnp.float64, jit: bool = True
     mode: the weight buffer (the HBM bandwidth bottleneck) is half-width,
     arithmetic accumulates in f32, outputs are returned in ``acc_dtype``.
     """
+    if dtype is None:
+        from .dtypes import default_device_dtype
+        dtype = default_device_dtype()
     num_slots = lowered.num_slots
     nl_total = lowered.num_leaves
     n_const = len(lowered.const_slots)
@@ -108,7 +111,7 @@ def make_evaluator(lowered: LoweredGraph, *, dtype=jnp.float64, jit: bool = True
 
 def evaluate_graphs(roots: Sequence[Graph], leaf_values,
                     leafmap: Optional[Dict[int, int]] = None, *,
-                    dtype=jnp.float64):
+                    dtype=None):
     """One-shot convenience: lower + evaluate ``roots`` on ``leaf_values``.
 
     ``leaf_values``: [num_leaves] or [num_leaves, batch], indexed by

@@ -88,12 +88,15 @@ def leaf_tables_from_lowered(lowered, leaf_graphs: Dict[int, "Graph"],
 
 
 def make_leaf_evaluator(tables: LeafTables, *, beta: float, kF: float, lam: float,
-                        dtype=jnp.float64, interaction_convention: str = "lambda_power"):
+                        dtype=None, interaction_convention: str = "lambda_power"):
     """Build ``f(varK, varT) -> leaf_values[num_leaves, batch]``.
 
     - ``varK``: [dim, max_loop_num, batch] sampled loop momenta
     - ``varT``: [num_tau, batch] sampled imaginary times
     """
+    if dtype is None:
+        from .dtypes import default_device_dtype
+        dtype = default_device_dtype()
     basis = jnp.asarray(tables.loop_basis, dtype)          # [n_basis, maxloop]
     groups: List[Tuple[int, int, np.ndarray]] = []
     for t in (1, 2):
