@@ -107,3 +107,94 @@ class TestGraphSharding:
         mesh = make_sample_mesh(4, axis_name="graph")
         multi = np.asarray(make_graph_sharded_evaluator(lowered, mesh)(vals))
         np.testing.assert_allclose(multi, single, rtol=1e-10)
+
+    def test_graph_sharded_fused_matches_single(self):
+        """Memory-partitioned sharding of the production fused mode."""
+        from feynmandiagram_tpu.ops import lower, make_evaluator
+        from feynmandiagram_tpu.parallel.graph_shard import make_graph_sharded_evaluator
+        from feynmandiagram_tpu.backends.compile import leafmap_of
+
+        from feynmandiagram_tpu.frontends import ChargeCharge, Instant, NoHartree
+        from feynmandiagram_tpu.frontends.parquet import (DiagPara, Interaction,
+                                                          SigmaDiag, sigma)
+        from feynmandiagram_tpu.computational_graph import optimize_inplace
+        para = DiagPara(type=SigmaDiag, innerLoopNum=3, hasTau=True,
+                        filter=(NoHartree,),
+                        interaction=(Interaction(ChargeCharge, Instant),))
+        extK = np.zeros(para.totalLoopNum)
+        extK[0] = 1.0
+        df = sigma(para, extK, False)
+        roots = [row["diagram"] for row in df]
+        optimize_inplace(roots, level=1)
+        leafmap = leafmap_of(roots)
+        lowered = lower(roots, leafmap, sum_mode="fused", cse=True,
+                        reuse_slots=False)
+
+        rng = np.random.default_rng(11)
+        n_leaf = lowered.num_leaves - len(lowered.const_slots)
+        vals = rng.uniform(0.5, 1.5, (n_leaf, 8))
+        single = np.asarray(make_evaluator(lowered)(vals))
+        mesh = make_sample_mesh(8, axis_name="graph")
+        sharded = make_graph_sharded_evaluator(lowered, mesh)
+        multi = np.asarray(sharded(vals))
+        np.testing.assert_allclose(multi, single, rtol=1e-10)
+        # the point of the design: per-device buffer strictly smaller than
+        # the full single-chip buffer, and boundary traffic is logged
+        # (tiny graph: per-bucket padding keeps the ratio well above 1/8;
+        # the order-6 memory-scaling demonstration lives in the scaling
+        # harness, benchmarks/scaling.py)
+        assert sharded.stats.local_slots < sharded.stats.full_slots // 2
+        assert len(sharded.stats.halo_rows_per_level) == lowered.num_levels + 1
+        assert sharded.stats.halo_bytes_per_sample() > 0
+
+    def test_graph_sharded_reuse_slots_rejected(self):
+        """Slot recycling breaks single-assignment ownership: must raise."""
+        import pytest
+        from feynmandiagram_tpu.ops import lower
+        from feynmandiagram_tpu.parallel.graph_shard import make_graph_sharded_evaluator
+        from feynmandiagram_tpu.backends.compile import leafmap_of
+        from feynmandiagram_tpu.frontends import ChargeCharge, Instant, NoHartree
+        from feynmandiagram_tpu.frontends.parquet import (DiagPara, Interaction,
+                                                          SigmaDiag, sigma)
+        para = DiagPara(type=SigmaDiag, innerLoopNum=2, hasTau=True,
+                        filter=(NoHartree,),
+                        interaction=(Interaction(ChargeCharge, Instant),))
+        extK = np.zeros(para.totalLoopNum)
+        extK[0] = 1.0
+        roots = [row["diagram"] for row in sigma(para, extK, False)]
+        leafmap = leafmap_of(roots)
+        lowered = lower(roots, leafmap, sum_mode="fused", reuse_slots=True)
+        mesh = make_sample_mesh(4, axis_name="graph")
+        with pytest.raises(ValueError, match="reuse_slots"):
+            make_graph_sharded_evaluator(lowered, mesh)
+
+    def test_graph_sharded_2d_mesh(self):
+        """2-D (graph x batch) mesh: slot partition + sample sharding."""
+        from jax.sharding import Mesh
+        from feynmandiagram_tpu.ops import lower, make_evaluator
+        from feynmandiagram_tpu.parallel.graph_shard import make_graph_sharded_evaluator
+        from feynmandiagram_tpu.backends.compile import leafmap_of
+        from feynmandiagram_tpu.frontends import ChargeCharge, Instant, NoHartree
+        from feynmandiagram_tpu.frontends.parquet import (DiagPara, Interaction,
+                                                          SigmaDiag, sigma)
+        from feynmandiagram_tpu.computational_graph import optimize_inplace
+        para = DiagPara(type=SigmaDiag, innerLoopNum=2, hasTau=True,
+                        filter=(NoHartree,),
+                        interaction=(Interaction(ChargeCharge, Instant),))
+        extK = np.zeros(para.totalLoopNum)
+        extK[0] = 1.0
+        roots = [row["diagram"] for row in sigma(para, extK, False)]
+        optimize_inplace(roots)
+        leafmap = leafmap_of(roots)
+        lowered = lower(roots, leafmap, sum_mode="fused", reuse_slots=False)
+
+        rng = np.random.default_rng(13)
+        n_leaf = lowered.num_leaves - len(lowered.const_slots)
+        vals = rng.uniform(0.5, 1.5, (n_leaf, 16))
+        single = np.asarray(make_evaluator(lowered)(vals))
+        devices = np.asarray(jax.devices()[:8]).reshape(4, 2)
+        mesh = Mesh(devices, ("graph", "batch"))
+        sharded = make_graph_sharded_evaluator(lowered, mesh,
+                                               batch_axis="batch")
+        multi = np.asarray(sharded(vals))
+        np.testing.assert_allclose(multi, single, rtol=1e-10)
