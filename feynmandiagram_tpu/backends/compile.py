@@ -97,30 +97,41 @@ def compile_evaluator(roots: Sequence[Graph], *, max_loop_num: int,
 
 # ---------------------------------------------------------------------------
 # artifact export: the serialized flat-IR analog of the .diag/compiled-source
-# checkpoint files (SURVEY §5.4)
+# checkpoint files (SURVEY §5.4) — generation and TPU evaluation can run in
+# different jobs; the artifact alone suffices to evaluate.
 # ---------------------------------------------------------------------------
 
-def export_artifact(path: str, roots: Sequence[Graph], *, max_loop_num: int) -> None:
-    """Serialize the lowered IR + leaf tables to one .npz artifact so diagram
-    generation and TPU evaluation can run in different jobs."""
-    leafmap = leafmap_of(roots)
-    lowered = lower(roots, leafmap)
-    tables = leaf_tables_from_lowered(lowered, leaf_graphs_of(roots), max_loop_num)
+ARTIFACT_VERSION = 2
+
+
+def save_lowered(path: str, lowered: LoweredGraph,
+                 tables: Optional[LeafTables] = None) -> None:
+    """Serialize a LoweredGraph (any sum_mode: csr, bucketed, or fused) and
+    optional LeafTables to one .npz artifact."""
+    uids = np.asarray(sorted(lowered.leaf_uid_to_slot), np.int64)
     payload = {
+        "version": np.int64(ARTIFACT_VERSION),
         "num_slots": lowered.num_slots,
         "num_leaves": lowered.num_leaves,
+        "num_edges": lowered.num_edges,
         "root_slots": lowered.root_slots,
         "const_slots": lowered.const_slots,
         "const_values": lowered.const_values,
         "num_levels": len(lowered.levels),
-        "leaf_type": tables.leaf_type,
-        "g_order": tables.g_order,
-        "v_order": tables.v_order,
-        "tau_in": tables.tau_in,
-        "tau_out": tables.tau_out,
-        "loop_idx": tables.loop_idx,
-        "loop_basis": tables.loop_basis,
+        "leaf_uids": uids,
+        "leaf_uid_slots": np.asarray(
+            [lowered.leaf_uid_to_slot[u] for u in uids], np.int64),
     }
+    if tables is not None:
+        payload.update({
+            "leaf_type": tables.leaf_type,
+            "g_order": tables.g_order,
+            "v_order": tables.v_order,
+            "tau_in": tables.tau_in,
+            "tau_out": tables.tau_out,
+            "loop_idx": tables.loop_idx,
+            "loop_basis": tables.loop_basis,
+        })
     for i, level in enumerate(lowered.levels):
         if level.sums is not None:
             s = level.sums
@@ -128,6 +139,15 @@ def export_artifact(path: str, roots: Sequence[Graph], *, max_loop_num: int) -> 
             payload[f"lev{i}_sum_src"] = s.edge_src
             payload[f"lev{i}_sum_fac"] = s.edge_factor
             payload[f"lev{i}_sum_seg"] = s.edge_seg
+        for j, sb in enumerate(level.sum_buckets):
+            payload[f"lev{i}_sb{j}"] = np.asarray([sb.arity, sb.start, sb.count])
+            payload[f"lev{i}_sb{j}_idx"] = sb.idx
+            payload[f"lev{i}_sb{j}_fac"] = sb.fac
+        for j, fb in enumerate(level.fused):
+            payload[f"lev{i}_fb{j}"] = np.asarray(
+                [fb.arity, fb.n_op, fb.start, fb.count])
+            payload[f"lev{i}_fb{j}_idx"] = fb.idx
+            payload[f"lev{i}_fb{j}_fac"] = fb.fac
         for j, p in enumerate(level.prods):
             payload[f"lev{i}_prod{j}"] = np.asarray([p.arity, p.start, p.count])
             payload[f"lev{i}_prod{j}_idx"] = p.idx
@@ -139,19 +159,54 @@ def export_artifact(path: str, roots: Sequence[Graph], *, max_loop_num: int) -> 
     np.savez_compressed(path, **payload)
 
 
+def export_artifact(path: str, roots: Sequence[Graph], *, max_loop_num: int,
+                    sum_mode: str = "fused", **lower_kwargs) -> None:
+    """Lower ``roots`` (production fused mode by default) and serialize the
+    flat IR + leaf tables to one .npz artifact."""
+    leafmap = leafmap_of(roots)
+    lowered = lower(roots, leafmap, sum_mode=sum_mode, **lower_kwargs)
+    tables = leaf_tables_from_lowered(lowered, leaf_graphs_of(roots), max_loop_num)
+    save_lowered(path, lowered, tables)
+
+
 def load_artifact(path: str):
-    """Load an exported artifact back into (LoweredGraph, LeafTables)."""
-    from ..ops.lowering import LevelPlan, PowerPlan, ProdPlan, SumPlan
+    """Load an artifact back into (LoweredGraph, LeafTables or None).
+
+    The result is sufficient to build evaluators with no access to the
+    symbolic graphs: ``make_evaluator(lowered)`` /
+    ``make_leaf_evaluator(tables, ...)``.
+    """
+    from ..ops.lowering import (FusedBucket, LevelPlan, PowerPlan, ProdPlan,
+                                SumBucket, SumPlan)
 
     z = np.load(path)
+    version = int(z["version"]) if "version" in z else 1
+    if version > ARTIFACT_VERSION:
+        raise ValueError(f"artifact version {version} is newer than supported "
+                         f"({ARTIFACT_VERSION})")
     levels = []
-    i = 0
-    while f"lev{i}_sum" in z or any(k.startswith(f"lev{i}_") for k in z.files):
+    for i in range(int(z["num_levels"])):
         sums = None
         if f"lev{i}_sum" in z:
             start, count = z[f"lev{i}_sum"]
             sums = SumPlan(int(start), int(count), z[f"lev{i}_sum_src"],
                            z[f"lev{i}_sum_fac"], z[f"lev{i}_sum_seg"])
+        sum_buckets = []
+        j = 0
+        while f"lev{i}_sb{j}" in z:
+            arity, start, count = z[f"lev{i}_sb{j}"]
+            sum_buckets.append(SumBucket(int(arity), int(start), int(count),
+                                         z[f"lev{i}_sb{j}_idx"],
+                                         z[f"lev{i}_sb{j}_fac"]))
+            j += 1
+        fused = []
+        j = 0
+        while f"lev{i}_fb{j}" in z:
+            arity, n_op, start, count = z[f"lev{i}_fb{j}"]
+            fused.append(FusedBucket(int(arity), int(n_op), int(start),
+                                     int(count), z[f"lev{i}_fb{j}_idx"],
+                                     z[f"lev{i}_fb{j}_fac"]))
+            j += 1
         prods = []
         j = 0
         while f"lev{i}_prod{j}" in z:
@@ -166,15 +221,20 @@ def load_artifact(path: str):
             pows.append(PowerPlan(int(n), int(start), int(count),
                                   z[f"lev{i}_pow{j}_src"], z[f"lev{i}_pow{j}_fac"]))
             j += 1
-        levels.append(LevelPlan(sums, prods, pows))
-        i += 1
-        if i > int(z["num_levels"]):
-            break
-    levels = levels[:int(z["num_levels"])]
+        levels.append(LevelPlan(sums, prods, pows, sum_buckets, fused))
+    leaf_uid_to_slot = {}
+    if "leaf_uids" in z:
+        leaf_uid_to_slot = {int(u): int(s) for u, s in
+                            zip(z["leaf_uids"], z["leaf_uid_slots"])}
     lowered = LoweredGraph(
         num_slots=int(z["num_slots"]), num_leaves=int(z["num_leaves"]),
-        levels=levels, root_slots=z["root_slots"], leaf_uid_to_slot={},
-        const_slots=z["const_slots"], const_values=z["const_values"])
-    tables = LeafTables(z["leaf_type"], z["g_order"], z["v_order"], z["tau_in"],
-                        z["tau_out"], z["loop_idx"], z["loop_basis"])
+        levels=levels, root_slots=z["root_slots"],
+        leaf_uid_to_slot=leaf_uid_to_slot,
+        const_slots=z["const_slots"], const_values=z["const_values"],
+        num_edges=int(z["num_edges"]) if "num_edges" in z else 0)
+    tables = None
+    if "leaf_type" in z:
+        tables = LeafTables(z["leaf_type"], z["g_order"], z["v_order"],
+                            z["tau_in"], z["tau_out"], z["loop_idx"],
+                            z["loop_basis"])
     return lowered, tables

@@ -160,3 +160,87 @@ class TestModels:
         for order in range(6):
             vals = np.asarray(green_derive_tower(tau, eps, BETA, order))
             assert np.all(np.isfinite(vals)), order
+
+
+class TestArtifactV2:
+    """Artifact round-trips for every lowering mode, and evaluation in a
+    fresh process from the artifact alone (the 'generate in one job,
+    evaluate in another' contract, SURVEY §5.4)."""
+
+    def _roots(self):
+        para = DiagPara(type=SigmaDiag, innerLoopNum=2, hasTau=True,
+                        filter=(NoHartree,),
+                        interaction=(Interaction(ChargeCharge, Instant),))
+        extK = np.zeros(para.totalLoopNum)
+        extK[0] = 1.0
+        roots = [row["diagram"] for row in sigma(para, extK, False)]
+        optimize_inplace(roots)
+        return roots, para
+
+    @pytest.mark.parametrize("sum_mode", ["csr", "bucketed", "fused"])
+    def test_roundtrip_all_modes(self, tmp_path, sum_mode):
+        from feynmandiagram_tpu.ops.evaluator import make_evaluator
+        from feynmandiagram_tpu.ops.leaf_eval import make_leaf_evaluator
+        from feynmandiagram_tpu.backends.compile import ARTIFACT_VERSION
+
+        roots, para = self._roots()
+        path = str(tmp_path / f"sigma2_{sum_mode}.npz")
+        export_artifact(path, roots, max_loop_num=para.totalLoopNum,
+                        sum_mode=sum_mode)
+        z = np.load(path)
+        assert int(z["version"]) == ARTIFACT_VERSION
+        lowered, tables = load_artifact(path)
+        assert lowered.leaf_uid_to_slot  # v2: leaf identity survives
+
+        rng = np.random.default_rng(3)
+        varK = rng.standard_normal((3, para.totalLoopNum, 8))
+        varT = rng.random((para.totalLoopNum, 8)) * BETA
+        leaf_fn = make_leaf_evaluator(tables, beta=BETA, kF=KF, lam=LAM)
+        graph_fn = make_evaluator(lowered)
+        got = np.asarray(graph_fn(leaf_fn(varK, varT)))
+
+        compiled = compile_evaluator(roots, max_loop_num=para.totalLoopNum,
+                                     beta=BETA, kF=KF, lam=LAM,
+                                     sum_mode=sum_mode)
+        expected = np.asarray(compiled(varK, varT))
+        np.testing.assert_allclose(got, expected, rtol=1e-12)
+
+    def test_second_process_evaluates_from_artifact_alone(self, tmp_path):
+        """A fresh interpreter with no symbolic graphs reproduces the value."""
+        import os
+        import subprocess
+        import sys
+
+        roots, para = self._roots()
+        path = str(tmp_path / "sigma2_fused.npz")
+        export_artifact(path, roots, max_loop_num=para.totalLoopNum)
+
+        rng = np.random.default_rng(3)
+        varK = rng.standard_normal((3, para.totalLoopNum, 8))
+        varT = rng.random((para.totalLoopNum, 8)) * BETA
+        compiled = compile_evaluator(roots, max_loop_num=para.totalLoopNum,
+                                     beta=BETA, kF=KF, lam=LAM)
+        expected = np.asarray(compiled(varK, varT))
+        np.save(tmp_path / "varK.npy", varK)
+        np.save(tmp_path / "varT.npy", varT)
+
+        script = f"""
+import numpy as np
+from feynmandiagram_tpu.backends.compile import load_artifact
+from feynmandiagram_tpu.ops.evaluator import make_evaluator
+from feynmandiagram_tpu.ops.leaf_eval import make_leaf_evaluator
+lowered, tables = load_artifact({path!r})
+leaf_fn = make_leaf_evaluator(tables, beta={BETA}, kF={KF}, lam={LAM})
+graph_fn = make_evaluator(lowered)
+varK = np.load({str(tmp_path / 'varK.npy')!r})
+varT = np.load({str(tmp_path / 'varT.npy')!r})
+np.save({str(tmp_path / 'out.npy')!r}, np.asarray(graph_fn(leaf_fn(varK, varT))))
+"""
+        env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+                   JAX_ENABLE_X64="1",
+                   PYTHONPATH=os.path.dirname(os.path.dirname(
+                       os.path.abspath(__file__))))
+        subprocess.run([sys.executable, "-c", script], check=True, env=env,
+                       timeout=300)
+        got = np.load(tmp_path / "out.npy")
+        np.testing.assert_allclose(got, expected, rtol=1e-12)
