@@ -61,7 +61,8 @@ def compile_evaluator(roots: Sequence[Graph], *, max_loop_num: int,
                       interaction_convention: str = "lambda_power",
                       jit: bool = True, sum_mode: str = "fused",
                       merge_threshold: int = 0, graph_dtype=None,
-                      acc_dtype=None, cse: bool = True) -> CompiledEvaluator:
+                      acc_dtype=None, cse: bool = True,
+                      compensated: bool = False) -> CompiledEvaluator:
     """Lower ``roots`` and build the fused batched evaluator.
 
     - ``varK``: [dim, max_loop_num, batch] loop-momentum samples
@@ -85,7 +86,7 @@ def compile_evaluator(roots: Sequence[Graph], *, max_loop_num: int,
     leaf_fn = make_leaf_evaluator(tables, beta=beta, kF=kF, lam=lam, dtype=dtype,
                                   interaction_convention=interaction_convention)
     graph_fn = make_evaluator(lowered, dtype=graph_dtype or dtype, jit=False,
-                              acc_dtype=acc_dtype)
+                              acc_dtype=acc_dtype, compensated=compensated)
 
     def fn(varK, varT):
         leaf_values = leaf_fn(varK, varT)

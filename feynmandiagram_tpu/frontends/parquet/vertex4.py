@@ -23,8 +23,17 @@ from .filters import is_valid_g, not_proper
 from .operation import mergeby
 
 # cache of fully-irreducible (Alli) vertex4 diagrams, seeded from the GV
-# module tables at orders 3 and 4 (parquet.jl:211-235)
-_vertex4I_diags: Dict[int, List[Graph]] = {}
+# module tables at orders 3 and 4 (parquet.jl:211-235).  Keyed by the
+# generation config (filter set, spin polarization) so interleaved builds
+# with different configs cannot overwrite each other's tables.
+_vertex4I_cache: Dict[tuple, Dict[int, List[Graph]]] = {}
+
+
+def _ver4I_key(filter, spin_polar_para: float) -> tuple:
+    from ..common import NoHartree
+    if filter is None:
+        filter = [NoHartree]
+    return (tuple(sorted(filter, key=repr)), float(spin_polar_para))
 
 
 def initialize_vertex4I_diags(*, filter=None, spin_polar_para: float = 0.0) -> None:
@@ -32,14 +41,18 @@ def initialize_vertex4I_diags(*, filter=None, spin_polar_para: float = 0.0) -> N
     from ..common import NoHartree
     if filter is None:
         filter = [NoHartree]
-    _vertex4I_diags[3] = diagsGV_ver4(3, channels=[Alli], filter=filter,
-                                      spin_polar_para=spin_polar_para)
-    _vertex4I_diags[4] = diagsGV_ver4(4, channels=[Alli], filter=filter,
-                                      spin_polar_para=spin_polar_para)
+    tables = {
+        3: diagsGV_ver4(3, channels=[Alli], filter=filter,
+                        spin_polar_para=spin_polar_para),
+        4: diagsGV_ver4(4, channels=[Alli], filter=filter,
+                        spin_polar_para=spin_polar_para),
+    }
+    _vertex4I_cache[_ver4I_key(filter, spin_polar_para)] = tables
 
 
-def get_ver4I() -> Dict[int, List[Graph]]:
-    return _vertex4I_diags
+def get_ver4I(*, filter=None, spin_polar_para: float = 0.0) -> Dict[int, List[Graph]]:
+    """Tables for one generation config (empty dict if not yet initialized)."""
+    return _vertex4I_cache.get(_ver4I_key(filter, spin_polar_para), {})
 
 
 def max_ver4_tau_idx(para: DiagPara) -> int:

@@ -27,8 +27,26 @@ from .lowering import LoweredGraph, lower
 from ..computational_graph.graph import Graph
 
 
+def _compensated_reduce(block: jnp.ndarray) -> jnp.ndarray:
+    """Kahan-compensated sum over axis 0 (SURVEY §7.3 item 4).
+
+    XLA preserves floating-point evaluation order (no unsafe reassociation),
+    so the running-compensation recurrence survives compilation.  Roughly
+    4x the VPU work of a plain reduce, but the evaluator is gather/HBM
+    bound, so the cost is small; accuracy approaches f64 for f32 storage.
+    """
+    s = block[0]
+    c = jnp.zeros_like(s)
+    for i in range(1, block.shape[0]):
+        y = block[i] - c
+        t = s + y
+        c = (t - s) - y
+        s = t
+    return s
+
+
 def _eval_levels(lowered: LoweredGraph, w: jnp.ndarray,
-                 acc_dtype=None) -> jnp.ndarray:
+                 acc_dtype=None, compensated: bool = False) -> jnp.ndarray:
     """Run all levels, returning the filled weight buffer [num_slots, batch].
 
     ``acc_dtype`` (optional) widens arithmetic: gathered rows are upcast,
@@ -36,8 +54,14 @@ def _eval_levels(lowered: LoweredGraph, w: jnp.ndarray,
     ``w.dtype``.  Used by the bf16-storage mode, where the HBM-resident
     buffer (the bandwidth bottleneck) is half-width but sums/products still
     accumulate in f32.
+
+    ``compensated`` switches every bucket reduction to Kahan summation —
+    the production path for f32 storage on graphs deep enough that plain
+    f32 drifts (order >= 5).
     """
     a = acc_dtype or w.dtype
+    reduce0 = _compensated_reduce if compensated else (
+        lambda b: jnp.sum(b, axis=0))
     for level in lowered.levels:
         if level.sums is not None:
             s = level.sums
@@ -47,14 +71,14 @@ def _eval_levels(lowered: LoweredGraph, w: jnp.ndarray,
             w = jax.lax.dynamic_update_slice_in_dim(w, block.astype(w.dtype), s.start, axis=0)
         for sb in level.sum_buckets:
             # dense gather + reduce over the padded fan-in axis (no scatter)
-            block = jnp.sum(w[sb.idx].astype(a) * sb.fac[:, :, None].astype(a), axis=0)
+            block = reduce0(w[sb.idx].astype(a) * sb.fac[:, :, None].astype(a))
             w = jax.lax.dynamic_update_slice_in_dim(w, block.astype(w.dtype), sb.start, axis=0)
         for fb in level.fused:
             # uniform sum-of-products: out[c] = sum_a fac[a,c] * prod_k w[idx[k,a,c]]
             block = w[fb.idx[0]].astype(a) * fb.fac[:, :, None].astype(a)
             for k in range(1, fb.n_op):
                 block = block * w[fb.idx[k]].astype(a)
-            block = jnp.sum(block, axis=0)
+            block = reduce0(block)
             w = jax.lax.dynamic_update_slice_in_dim(w, block.astype(w.dtype), fb.start, axis=0)
         for p in level.prods:
             block = w[p.idx[0]].astype(a)
@@ -69,7 +93,8 @@ def _eval_levels(lowered: LoweredGraph, w: jnp.ndarray,
 
 
 def make_evaluator(lowered: LoweredGraph, *, dtype=None, jit: bool = True,
-                   return_all: bool = False, acc_dtype=None):
+                   return_all: bool = False, acc_dtype=None,
+                   compensated: bool = False):
     """Build ``f(leaf_values[num_leaves, batch]) -> roots[num_roots, batch]``.
 
     ``leaf_values`` covers the non-constant leaf slots (0..nl-1); constant
@@ -100,7 +125,7 @@ def make_evaluator(lowered: LoweredGraph, *, dtype=None, jit: bool = True,
         if n_const:
             cv = jnp.broadcast_to(const_values[:, None], (n_const, batch))
             w = jax.lax.dynamic_update_slice_in_dim(w, cv, nl_input, axis=0)
-        w = _eval_levels(lowered, w, acc_dtype)
+        w = _eval_levels(lowered, w, acc_dtype, compensated)
         if return_all:
             return w
         out = w[root_slots]

@@ -6,7 +6,9 @@ variable registry mirrors the reference ``set_variables`` API.
 """
 from __future__ import annotations
 
+import contextlib
 import math
+import threading
 from typing import Dict, List, Optional, Sequence, Tuple
 
 
@@ -17,28 +19,39 @@ class _TaylorParams:
         self.variable_names = names
 
 
-_params = _TaylorParams([2, 2], ["x1", "x2"])
+# The variable registry mirrors the reference's global ParamsTaylor
+# (parameter.jl:26) but is thread-local, and ``taylor_context`` scopes any
+# change with save/restore, so interleaved builds cannot corrupt each other
+# (SURVEY §5.2).
+_tls = threading.local()
+
+
+def _params_get() -> _TaylorParams:
+    p = getattr(_tls, "params", None)
+    if p is None:
+        p = _TaylorParams([2, 2], ["x1", "x2"])
+        _tls.params = p
+    return p
 
 
 def get_orders(idx: Optional[int] = None):
     """Maximum truncation order(s); ``idx`` is 0-based (parameter.jl:29-30)."""
     if idx is None:
-        return list(_params.orders)
-    return _params.orders[idx]
+        return list(_params_get().orders)
+    return _params_get().orders[idx]
 
 
 def get_numvars() -> int:
-    return _params.num_vars
+    return _params_get().num_vars
 
 
 def get_variable_names() -> List[str]:
-    return list(_params.variable_names)
+    return list(_params_get().variable_names)
 
 
 def set_variables(names, *, orders=None, numvars: int = -1):
     """Register the AD variables and their truncation orders; returns the
     corresponding first-order TaylorSeries list (parameter.jl:61-108)."""
-    global _params
     if isinstance(names, str):
         names = names.split()
     names = [str(n) for n in names]
@@ -48,8 +61,23 @@ def set_variables(names, *, orders=None, numvars: int = -1):
         orders = get_orders()
     if len(orders) != len(names):
         raise ValueError("orders must have the same length as the variable names")
-    _params = _TaylorParams(list(orders), names)
+    _tls.params = _TaylorParams(list(orders), names)
     return [TaylorSeries.variable(i) for i in range(get_numvars())]
+
+
+@contextlib.contextmanager
+def taylor_context(names=None, *, orders=None):
+    """Scope a variable registry: the previous registry is restored on exit,
+    so a library call can expand with its own variables without clobbering
+    the caller's.  ``taylorAD`` uses this internally."""
+    saved = getattr(_tls, "params", None)
+    try:
+        if names is not None:
+            yield set_variables(names, orders=orders)
+        else:
+            yield
+    finally:
+        _tls.params = saved
 
 
 class TaylorSeries:

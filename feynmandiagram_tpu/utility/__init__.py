@@ -157,21 +157,26 @@ def taylorAD(graphs: Sequence[Graph], deriv_orders: Sequence[int],
     if dict_graphs is None:
         dict_graphs = {}
 
-    set_variables(_variable_names(len(deriv_orders)), orders=list(deriv_orders))
-    var_dependence: Dict[int, List[bool]] = {}
-    visited = set()
-    for diag in graphs:
-        for leaf in diag.leaves():
-            if leaf.id in visited:
-                continue
-            visited.add(leaf.id)
-            var_dependence[leaf.id] = [bool(f(leaf.properties)) for f in leaf_dep_funcs]
+    from ..taylor import taylor_context
 
-    series_vec, _ = taylorexpansion_graphs(graphs, var_dependence)
-    for series in series_vec:
-        for orders, graph in series.coeffs.items():
-            dict_graphs.setdefault(tuple(orders), []).append(graph)
-    return dict_graphs
+    # scoped registry: the caller's set_variables state is restored on exit
+    with taylor_context(_variable_names(len(deriv_orders)),
+                        orders=list(deriv_orders)):
+        var_dependence: Dict[int, List[bool]] = {}
+        visited = set()
+        for diag in graphs:
+            for leaf in diag.leaves():
+                if leaf.id in visited:
+                    continue
+                visited.add(leaf.id)
+                var_dependence[leaf.id] = [bool(f(leaf.properties))
+                                           for f in leaf_dep_funcs]
+
+        series_vec, _ = taylorexpansion_graphs(graphs, var_dependence)
+        for series in series_vec:
+            for orders, graph in series.coeffs.items():
+                dict_graphs.setdefault(tuple(orders), []).append(graph)
+        return dict_graphs
 
 
 # ---------------------------------------------------------------------------

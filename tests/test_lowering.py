@@ -311,3 +311,69 @@ class TestBucketMerging:
         n_ops_merged = sum(len(l.sum_buckets) + len(l.prods) + len(l.pows)
                            for l in merged.levels)
         assert n_ops_merged <= n_ops_base
+
+
+class TestCompensatedSummation:
+    """Kahan two-sum inside bucket reductions (SURVEY §7.3 item 4): f32
+    storage with compensation must beat plain f32 on cancellation-heavy
+    sums, approaching the f64 ground truth."""
+
+    def test_cancellation_bucket(self):
+        """A single wide Sum with alternating huge/small terms: plain f32
+        loses the small terms entirely; compensated f32 recovers them."""
+        import jax.numpy as jnp
+        from feynmandiagram_tpu.computational_graph import Graph
+
+        # sum_i (1e6 - 1e6 + 1) repeated: true value = n_triples
+        leaves, factors = [], []
+        n_triples = 16
+        big = Graph([], properties=("leaf", "big"))
+        small = Graph([], properties=("leaf", "small"))
+        sub = []
+        fac = []
+        for _ in range(n_triples):
+            sub.extend([big, big, small])
+            fac.extend([1.0e6, -1.0e6, 1.0])
+        root = Graph(sub, subgraph_factors=fac)
+        leafmap = {big.id: 0, small.id: 1}
+        lowered = lower([root], leafmap, sum_mode="fused", max_sum_arity=64)
+        vals64 = np.asarray([[1.0], [1.0]])
+        vals32 = vals64.astype(np.float32)
+
+        f64 = float(np.asarray(make_evaluator(lowered, dtype=jnp.float64)(vals64))[0, 0])
+        plain = float(np.asarray(make_evaluator(lowered, dtype=jnp.float32)(vals32))[0, 0])
+        kahan = float(np.asarray(make_evaluator(
+            lowered, dtype=jnp.float32, compensated=True)(vals32))[0, 0])
+        assert f64 == n_triples
+        assert kahan == pytest.approx(f64, abs=1e-3)
+        assert abs(kahan - f64) <= abs(plain - f64)
+
+    def test_order3_ver4_compensated_not_worse(self):
+        """On a real parquet graph, compensated f32 error <= plain f32 error
+        (per root, against f64), and modes stay equivalent."""
+        import jax.numpy as jnp
+        from feynmandiagram_tpu.frontends import ChargeCharge, Instant, NoHartree
+        from feynmandiagram_tpu.frontends.parquet import (DiagPara, Interaction,
+                                                          Ver4Diag, vertex4)
+        from feynmandiagram_tpu.computational_graph import optimize_inplace
+        from feynmandiagram_tpu.backends.compile import leafmap_of
+
+        para = DiagPara(type=Ver4Diag, innerLoopNum=3, hasTau=True,
+                        filter=(NoHartree,),
+                        interaction=(Interaction(ChargeCharge, Instant),))
+        roots = [row["diagram"] for row in vertex4(para)]
+        optimize_inplace(roots, level=1)
+        leafmap = leafmap_of(roots)
+        lowered = lower(roots, leafmap, sum_mode="fused")
+        rng = np.random.default_rng(2)
+        vals = rng.uniform(0.25, 4.0, (len(leafmap), 16))
+        f64 = np.asarray(make_evaluator(lowered, dtype=jnp.float64)(vals))
+        v32 = vals.astype(np.float32)
+        plain = np.asarray(make_evaluator(lowered, dtype=jnp.float32)(v32))
+        kahan = np.asarray(make_evaluator(lowered, dtype=jnp.float32,
+                                          compensated=True)(v32))
+        scale = np.abs(f64).max()
+        err_plain = np.abs(plain - f64).max() / scale
+        err_kahan = np.abs(kahan - f64).max() / scale
+        assert err_kahan <= err_plain * 1.05
+        assert err_kahan < 5e-6, err_kahan

@@ -230,3 +230,40 @@ class TestDisplayAndMetrics:
         # list-of-series form
         adds2, muls2 = count_operation([series])
         assert [adds2, muls2] == [adds, muls]
+
+
+class TestContextIsolation:
+    """Globals hygiene (SURVEY §5.2): interleaved builds must not corrupt
+    each other's variable registries or vertex4I tables."""
+
+    def test_taylor_context_restores(self):
+        from feynmandiagram_tpu.taylor import (get_numvars, get_orders,
+                                               set_variables, taylor_context)
+        set_variables("u v w", orders=[1, 2, 3])
+        with taylor_context("x", orders=[5]) as (x,):
+            assert get_numvars() == 1
+            assert get_orders() == [5]
+            assert (x * x).get_coeff([2]) == 1.0
+        assert get_numvars() == 3
+        assert get_orders() == [1, 2, 3]
+
+    def test_taylorad_does_not_clobber_registry(self):
+        from feynmandiagram_tpu.taylor import get_orders, set_variables
+        from feynmandiagram_tpu.utility import taylorAD
+        from feynmandiagram_tpu.computational_graph import Graph
+
+        set_variables("a b", orders=[4, 4])
+        leaf = Graph([], properties=("g", 1))
+        taylorAD([leaf], [2], [lambda p: True])
+        assert get_orders() == [4, 4]
+
+    def test_vertex4I_cache_keyed_by_config(self):
+        from feynmandiagram_tpu.frontends.parquet.vertex4 import (
+            _ver4I_key, get_ver4I)
+        from feynmandiagram_tpu.frontends import NoHartree, Proper
+
+        assert _ver4I_key(None, 0.0) == _ver4I_key([NoHartree], 0.0)
+        assert _ver4I_key([NoHartree], 0.0) != _ver4I_key([NoHartree, Proper], 0.0)
+        assert _ver4I_key([NoHartree], 0.0) != _ver4I_key([NoHartree], 0.5)
+        # unseeded config reads empty, never another config's tables
+        assert get_ver4I(spin_polar_para=0.123) == {}
