@@ -47,13 +47,31 @@ def optimize(graphs: Sequence[Graph], *, level: int = 0, verbose: int = 0, norma
 # DAG-wide pass drivers (memoized post-order over unique nodes)
 # ---------------------------------------------------------------------------
 
-def _for_each_node_postorder(graphs: Sequence[Graph], fn) -> None:
+def _iter_unique_postorder(graphs: Sequence[Graph]):
+    """Post-order over the union DAG of ``graphs`` with ONE shared visited
+    set, so shared subgraphs are yielded once across all roots (the per-root
+    ``g.post_order()`` would re-walk the whole shared DAG per root —
+    O(roots * nodes) on parquet outputs with hundreds of roots)."""
     visited = set()  # object identity: deepcopied graphs may share uids
     for g in graphs:
-        for node in g.post_order():
-            if id(node) not in visited:
-                visited.add(id(node))
-                fn(node)
+        stack: List[Tuple[Graph, bool]] = [(g, False)]
+        while stack:
+            node, expanded = stack.pop()
+            if expanded:
+                yield node
+                continue
+            if id(node) in visited:
+                continue
+            visited.add(id(node))
+            stack.append((node, True))
+            for sub in reversed(node.subgraphs):
+                if id(sub) not in visited:
+                    stack.append((sub, False))
+
+
+def _for_each_node_postorder(graphs: Sequence[Graph], fn) -> None:
+    for node in _iter_unique_postorder(graphs):
+        fn(node)
 
 
 def flatten_all_chains_inplace(graphs, *, verbose: int = 0):
@@ -140,21 +158,23 @@ def remove_duplicated_leaves_inplace(graphs: Sequence[Graph], *, verbose: int = 
     """Merge equivalent leaf nodes across all graphs (optimize.jl:289-317)."""
     leaves: List[Graph] = []
     seen = set()
-    for g in graphs:
-        for leaf in g.leaves():
-            if leaf.id not in seen:
-                seen.add(leaf.id)
-                leaves.append(leaf)
+    internal: List[Graph] = []
+    for node in _iter_unique_postorder(graphs):
+        if node.isleaf():
+            if node.id not in seen:
+                seen.add(node.id)
+                leaves.append(node)
+        else:
+            internal.append(node)
     if normalize is not None:
         for leaf in leaves:
             normalize(leaf.id)
     leaves.sort(key=lambda x: x.id)
     mapping = unique_nodes(leaves)
-    for g in graphs:
-        for n in g.pre_order():
-            for si, sub_g in enumerate(n.subgraphs):
-                if sub_g.isleaf():
-                    n.subgraphs[si] = mapping[sub_g.id]
+    for n in internal:
+        for si, sub_g in enumerate(n.subgraphs):
+            if sub_g.isleaf():
+                n.subgraphs[si] = mapping[sub_g.id]
     return graphs
 
 
@@ -169,23 +189,19 @@ def remove_duplicated_nodes_inplace(graphs, *, verbose: int = 0):
     canon: Dict[Tuple, Graph] = {}
     canonical_of: Dict[int, Graph] = {}
 
-    def process(root: Graph) -> None:
-        for node in root.post_order():
-            if node.id in canonical_of:
-                continue
-            # rewire children to canonical representatives first
-            for i, sub in enumerate(node.subgraphs):
-                node.subgraphs[i] = canonical_of[sub.id]
-            key = structural_key(node, [sub.id for sub in node.subgraphs])
-            rep = canon.get(key)
-            if rep is None:
-                canon[key] = node
-                canonical_of[node.id] = node
-            else:
-                canonical_of[node.id] = rep
-
-    for g in graphs:
-        process(g)
+    for node in _iter_unique_postorder(graphs):
+        if node.id in canonical_of:
+            continue
+        # rewire children to canonical representatives first
+        for i, sub in enumerate(node.subgraphs):
+            node.subgraphs[i] = canonical_of[sub.id]
+        key = structural_key(node, [sub.id for sub in node.subgraphs])
+        rep = canon.get(key)
+        if rep is None:
+            canon[key] = node
+            canonical_of[node.id] = node
+        else:
+            canonical_of[node.id] = rep
     # rewire root-level references
     result = [canonical_of[g.id] for g in graphs]
     # in-place contract: mutate the caller's list when possible

@@ -226,8 +226,21 @@ def merge_linear_combination_inplace(g: Graph) -> Graph:
     """3*g1 + 5*g2 + 7*g1 -> 10*g1 + 5*g2 (match modulo id)."""
     if g.operator.kind != "sum":
         return g
-    subg = g.subgraphs
-    subg_fac = g.subgraph_factors
+    # group identical child OBJECTS first (O(k)); on a hash-consed DAG this
+    # already captures every equivalence, leaving the pairwise isequiv scan
+    # below with nothing to do
+    by_obj: dict = {}
+    order: List[int] = []
+    for s, f in zip(g.subgraphs, g.subgraph_factors):
+        key = id(s)
+        if key in by_obj:
+            by_obj[key][1] += f
+        else:
+            by_obj[key] = [s, f]
+            order.append(key)
+    subg = [by_obj[k][0] for k in order]
+    subg_fac = [by_obj[k][1] for k in order]
+
     added = [False] * len(subg)
     merged_subg: List[Graph] = []
     merged_fac: List[float] = []

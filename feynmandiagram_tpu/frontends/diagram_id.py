@@ -56,7 +56,13 @@ class DiagramId:
         return self._key_eq() == other._key_eq()
 
     def __hash__(self):
-        return hash((type(self).__name__,) + tuple(self._key_hash()))
+        # ids are immutable after construction; the optimizer's hash-consing
+        # hashes every id many times, so cache the value per instance
+        h = getattr(self, "_hash_cache", None)
+        if h is None:
+            h = hash((type(self).__name__,) + tuple(self._key_hash()))
+            self._hash_cache = h
+        return h
 
     def _key_eq(self):
         raise NotImplementedError
@@ -114,10 +120,14 @@ class BareInteractionId(PropagatorId):
                 or self.extT == other.extT)
 
     def __hash__(self):
-        # time-local ids of any extT must collide; include extT otherwise
-        tpart = "local" if self.extT[0] == self.extT[1] else self.extT
-        return hash(("BareInteractionId", self.response, self.type,
-                     _khash(self.extK), tpart))
+        h = getattr(self, "_hash_cache", None)
+        if h is None:
+            # time-local ids of any extT must collide; include extT otherwise
+            tpart = "local" if self.extT[0] == self.extT[1] else self.extT
+            h = hash(("BareInteractionId", self.response, self.type,
+                      _khash(self.extK), tpart))
+            self._hash_cache = h
+        return h
 
     def __repr__(self):
         return f"{short(self.response)}{short(self.type)}, k{list(self.extK)}, t{self.extT}"

@@ -247,3 +247,62 @@ class TestADCrossValidation:
                             dvals.append(l.weight if l.operator.kind == "unitary" else 0.0)
                     expected += eval_graph(d, dmap, dvals)
         assert got == pytest.approx(expected, rel=1e-9)
+
+
+class TestSigmaGVCrossCheck:
+    """sigmaGV vs sigma where they coincide: the reference's sigmaGV builds
+    only the Fock-type (oW=0) instant rows (sigmaGV.jl:112-117 computes the
+    composite-W vertex3 and discards it), so its rows must equal sigma's
+    instant rows numerically under physical leaf evaluation."""
+
+    @pytest.mark.parametrize("l", [1, 2])
+    def test_instant_rows_agree(self, l):
+        from feynmandiagram_tpu.frontends.parquet import sigmaGV
+        from feynmandiagram_tpu.backends.compile import compile_evaluator
+        from feynmandiagram_tpu.frontends import Instant as InstantProp
+
+        para = DiagPara(type=SigmaDiag, innerLoopNum=l, hasTau=True,
+                        filter=(NoHartree,),
+                        interaction=(Interaction(ChargeCharge, Instant),))
+        extK = np.zeros(para.totalLoopNum)
+        extK[0] = 1.0
+        rng = np.random.default_rng(0)
+        varK = rng.standard_normal((3, para.totalLoopNum, 4))
+        varT = rng.random((para.totalLoopNum, 4)) * 0.5
+
+        def rows_by_extT(fn):
+            rows = fn(para, extK, False)
+            c = compile_evaluator([r["diagram"] for r in rows],
+                                  max_loop_num=para.totalLoopNum,
+                                  beta=0.5, kF=1.919, lam=1.0)
+            out = np.asarray(c(varK, varT))
+            return {tuple(r["extT"]): out[i] for i, r in enumerate(rows)}
+
+        s = rows_by_extT(sigma)
+        gv = rows_by_extT(sigmaGV)
+        for t, v in gv.items():
+            assert t in s
+            np.testing.assert_allclose(v, s[t], rtol=1e-10)
+        # instant (tau-local) rows coincide exactly; at l>1 sigma also has
+        # dynamic rows that sigmaGV (by reference semantics) does not build
+        assert all(t[0] == t[1] for t in gv)
+
+
+class TestEpCouplingValues:
+    def test_leaf1_pinned_counts(self):
+        """Electron-phonon vertex leaf==1 sums, pinned as combinatorial
+        regression anchors (the reference ships no ep_coupling value tests;
+        these values were cross-checked stable across rounds)."""
+        import warnings
+        from feynmandiagram_tpu.frontends.parquet import ep_coupling
+        from feynmandiagram_tpu.frontends import Dynamic
+        expected = {1: -8.0, 2: 64.0}
+        for l, want in expected.items():
+            para = DiagPara(type=Ver4Diag, hasTau=True, innerLoopNum=l,
+                            interaction=(Interaction(ChargeCharge,
+                                                     [Instant, Dynamic]),))
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                rows = ep_coupling(para)
+            total = sum(eval_graph(r["diagram"]) for r in rows)
+            assert total == pytest.approx(want), (l, total)
