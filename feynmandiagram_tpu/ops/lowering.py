@@ -552,6 +552,33 @@ def lower(roots: Sequence[Graph], leafmap: Optional[Dict[int, int]] = None,
                 key = (a if a <= 8 else pad_pow2(a),
                        max(len(ops) for ops, _ in terms))
                 by_key.setdefault(key, []).append(i)
+            # optional coalescing: merge (arity, n_op) groups while the
+            # padding cost (extra gathered elements) stays under the
+            # threshold — fewer, larger device ops per level, which matters
+            # when the evaluator is kernel-overhead bound rather than
+            # bandwidth bound
+            if merge_threshold > 0 and len(by_key) > 1:
+                items = [[k, v] for k, v in sorted(by_key.items())]
+                merged_any = True
+                while merged_any and len(items) > 1:
+                    merged_any = False
+                    best = None
+                    for x in range(len(items)):
+                        for y in range(x + 1, len(items)):
+                            (a1, o1), g1 = items[x]
+                            (a2, o2), g2 = items[y]
+                            na, no = max(a1, a2), max(o1, o2)
+                            extra = ((na * no - a1 * o1) * len(g1)
+                                     + (na * no - a2 * o2) * len(g2))
+                            if extra <= merge_threshold and (
+                                    best is None or extra < best[0]):
+                                best = (extra, x, y, na, no)
+                    if best is not None:
+                        _, x, y, na, no = best
+                        items[x] = [(na, no), items[x][1] + items[y][1]]
+                        del items[y]
+                        merged_any = True
+                by_key = {tuple(k): v for k, v in items}
             # allocate large groups first (less free-pool fragmentation)
             for (arity, n_op), group in sorted(
                     by_key.items(), key=lambda kv: -len(kv[1])):
