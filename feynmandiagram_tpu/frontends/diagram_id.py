@@ -18,19 +18,49 @@ from .common import AnalyticProperty, Dynamic, Instant, Response, TwoBodyChannel
 _ROUND = 8  # digits for hashing float momenta (values are small integers)
 
 
-def mirror_symmetrize(k: Sequence[float]) -> Tuple[float, ...]:
-    """Canonicalize the momentum sign: first nonzero entry positive
-    (diagram_id.jl:81-96)."""
+# ndarray -> tuple conversion caches.  Momentum vectors are numpy arrays
+# reused across hundreds of thousands of id constructions but drawn from a
+# small set of distinct values (loop-basis combinations), so a bytes-keyed
+# memo turns the per-id conversion into one dict lookup.  Keyed on
+# (dtype, bytes) so identical bytes of different dtypes cannot collide.
+_KTUP_CACHE: dict = {}
+_MSYM_CACHE: dict = {}
+
+
+def as_ktuple(k) -> Tuple[float, ...]:
+    """Convert a momentum vector to a (cached) tuple of floats."""
+    if isinstance(k, tuple):
+        return k
     if isinstance(k, _np.ndarray):
-        k = tuple(k.tolist())  # bulk conversion: this runs on every leaf id
-    else:
-        k = tuple(float(x) for x in k)
+        key = (k.dtype.char, k.tobytes())
+        t = _KTUP_CACHE.get(key)
+        if t is None:
+            t = tuple(k.tolist())
+            _KTUP_CACHE[key] = t
+        return t
+    return tuple(float(x) for x in k)
+
+
+def _mirror_of(k: Tuple[float, ...]) -> Tuple[float, ...]:
     for x in k:
         if x != 0:
             if x > 0:
                 return k
             return tuple(0.0 if v == 0 else -v for v in k)
     return k
+
+
+def mirror_symmetrize(k: Sequence[float]) -> Tuple[float, ...]:
+    """Canonicalize the momentum sign: first nonzero entry positive
+    (diagram_id.jl:81-96)."""
+    if isinstance(k, _np.ndarray):
+        key = (k.dtype.char, k.tobytes())
+        t = _MSYM_CACHE.get(key)
+        if t is None:
+            t = _mirror_of(tuple(k.tolist()))
+            _MSYM_CACHE[key] = t
+        return t
+    return _mirror_of(tuple(float(x) for x in k))
 
 
 def _kapprox(a: Tuple[float, ...], b: Tuple[float, ...], rtol=1.49e-8) -> bool:
@@ -212,10 +242,7 @@ class Ver3Id(DiagramId):
     def __init__(self, para, response: Response, *, k, t=(0, 0, 0)):
         self.para = para
         self.response = Response(response)
-        self.extK = tuple(
-            tuple(ki.tolist()) if isinstance(ki, _np.ndarray)
-            else tuple(float(x) for x in ki)
-            for ki in k)
+        self.extK = tuple(map(as_ktuple, k))
         self.extT = tuple(t)
 
     def _key_eq(self):
@@ -234,11 +261,7 @@ class Ver4Id(DiagramId):
         self.response = Response(response)
         self.type = AnalyticProperty(type)
         self.channel = TwoBodyChannel(chan)
-        self.extK = tuple(
-            ki if isinstance(ki, tuple)
-            else tuple(ki.tolist()) if isinstance(ki, _np.ndarray)
-            else tuple(map(float, ki))
-            for ki in k)
+        self.extK = tuple(map(as_ktuple, k))
         self.extT = tuple(t)
 
     def _key_eq(self):

@@ -28,6 +28,9 @@ from .vertex4 import (bare_ver4, bubble2diag, leg_basis, max_ver4_loop_idx,
                       max_ver4_tau_idx, merge_vertex4, tau_basis, vertex4)
 
 
+from . import _memo
+
+@_memo.scoped
 def ep_coupling(para: DiagPara, *, extK=None,
                 channels=(PHr, PHEr, PPr, Alli), subdiagram: bool = False,
                 name: str = "none", blocks: ParquetBlocks = ParquetBlocks()) -> List[dict]:

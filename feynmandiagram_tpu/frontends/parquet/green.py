@@ -15,8 +15,10 @@ from ...computational_graph import Graph, PROD, SUM
 from .common import find_first_loop_idx, find_first_tau_idx, ordered_partition
 from .filters import is_valid_g, is_valid_sigma
 from .operation import mergeby, merge_graphs
+from . import _memo
 
 
+@_memo.scoped
 def green(para: DiagPara, extK=None, extT=None, subdiagram: bool = False, *,
           name: str = "G", blocks: ParquetBlocks = ParquetBlocks()) -> Optional[Graph]:
     """Build a composite Green's function graph (green.jl:21-115).
@@ -47,8 +49,17 @@ def green(para: DiagPara, extK=None, extT=None, subdiagram: bool = False, *,
     tin, tout = extT[0], extT[1]
     t0 = para.firstTauIdx
 
+    # repeated subproblem? return the shared DAG node (see _memo docstring)
+    cache = _memo.active()
+    key = ("green", para, extK.tobytes(), tin, tout, subdiagram, name, blocks)
+    if cache is not None and key in cache:
+        return cache[key]
+
     if para.innerLoopNum == 0:
-        return Graph([], properties=BareGreenId(k=extK, t=extT), name=name)
+        g = Graph([], properties=BareGreenId(k=extK, t=extT), name=name)
+        if cache is not None:
+            cache[key] = g
+        return g
 
     def sigma_g(group, oG, t_idx, k_idx, sigma_t_idx) -> Graph:
         para_g = reconstruct_para(para, type=GreenDiag, firstTauIdx=t_idx,
@@ -100,4 +111,6 @@ def green(para: DiagPara, extK=None, extT=None, subdiagram: bool = False, *,
     merged = merge_graphs(sigma_g_pairs, operator=SUM, name="gΣG")[0]
     composite_g = Graph([g0, merged], properties=GreenId(para, k=extK, t=extT),
                         operator=PROD, name=name)
+    if cache is not None:
+        cache[key] = composite_g
     return composite_g

@@ -87,7 +87,20 @@ def update_extKT_inplace(diags: Sequence[Graph], para: DiagPara,
     tau_idx = para.firstTauIdx
     len_extK = len(legK[0])
     extK = [np.asarray(k, float) for k in legK[:-1]]
+    extK_mat = np.asarray(extK)
     indices = list(range(len_extK))
+    # order external legs by sparsity, then pick an independent old-basis
+    # slot for each (operation.jl:217-223) — depends only on extK, so it is
+    # computed once per call, not once per node
+    permu = sorted(range(len(extK)),
+                   key=lambda i: int(np.count_nonzero(extK[i])))
+    idx_independent: List[int] = []
+    for i in permu:
+        j = next(idx for idx in indices
+                 if idx not in idx_independent and extK[i][idx] != 0)
+        idx_independent.append(j)
+    swap_pairs = list(zip(permu, idx_independent))
+    idx_inner = [idx for idx in indices if idx not in idx_independent]
 
     for graph in diags:
         tau_shift = tau_idx - graph.properties.extT[0]
@@ -113,20 +126,9 @@ def update_extKT_inplace(diags: Sequence[Graph], para: DiagPara,
                 if len(old) < len_extK and extra_loop_idx is not None:
                     K[-1] = K[extra_loop_idx - 1]
                     K[extra_loop_idx - 1] = 0.0
-                sumK = np.zeros(len_extK)
-                for i, k in enumerate(extK):
-                    sumK += K[i] * k
-                # order external legs by sparsity, then pick an independent
-                # old-basis slot for each (operation.jl:217-223)
-                permu = sorted(range(len(extK)),
-                               key=lambda i: int(np.count_nonzero(extK[i])))
-                idx_independent = []
-                for i in permu:
-                    j = next(idx for idx in indices
-                             if idx not in idx_independent and extK[i][idx] != 0)
-                    idx_independent.append(j)
+                sumK = K[:len(extK)] @ extK_mat
+                for i, j in swap_pairs:
                     K[i], K[j] = K[j], K[i]
-                idx_inner = [idx for idx in indices if idx not in idx_independent]
                 _K = np.zeros(len_extK)
                 _K[idx_inner] = K[idx_inner]
                 newK = tuple(sumK + _K)

@@ -18,6 +18,9 @@ from .filters import is_valid_g
 from .operation import mergeby
 
 
+from . import _memo
+
+@_memo.scoped
 def polarization(para: DiagPara, extK=None, subdiagram: bool = False, *,
                  name: str = "Π", blocks: ParquetBlocks = ParquetBlocks()) -> List[dict]:
     """Generate polarization diagrams (polarization.jl:18-128).

@@ -20,6 +20,9 @@ from .filters import is_valid_g, is_valid_sigma
 from .operation import mergeby
 
 
+from . import _memo
+
+@_memo.scoped
 def sigma(para: DiagPara, extK=None, subdiagram: bool = False, *,
           name: str = "Σ", blocks: ParquetBlocks = ParquetBlocks()) -> List[dict]:
     """Build self-energy diagrams (sigma.jl:20-137).
@@ -43,6 +46,15 @@ def sigma(para: DiagPara, extK=None, subdiagram: bool = False, *,
     if len(extK) < para.totalLoopNum:
         raise ValueError(f"expect dim of extK >= {para.totalLoopNum}, got {len(extK)}")
     extK = np.asarray(extK[:para.totalLoopNum], float)
+
+    # repeated subproblem? return the shared rows (see _memo docstring)
+    cache = _memo.active()
+    mkey = None
+    if cache is not None:
+        mkey = ("sigma", para, extK.tobytes(), subdiagram, name, blocks)
+        hit = cache.get(mkey)
+        if hit is not None:
+            return list(hit)
 
     composite_sigma: List[dict] = []
     if not is_valid_sigma(para.filter, para.innerLoopNum, subdiagram):
@@ -116,10 +128,14 @@ def sigma(para: DiagPara, extK=None, subdiagram: bool = False, *,
             composite_sigma.append(gw_to_sigma(merged, oW, para_g))
 
     if not composite_sigma:
+        if cache is not None:
+            cache[mkey] = []
         return composite_sigma
     sigmadf = mergeby(composite_sigma, ["type", "extT"], name=name,
                       getid=lambda g: SigmaId(para, g[0]["type"], k=extK, t=g[0]["extT"]))
     for row in sigmadf:
         if row["extT"][0] != para.firstTauIdx:
             raise AssertionError(f"all sigma should share the same in-Tidx\n{sigmadf}")
+    if cache is not None:
+        cache[mkey] = list(sigmadf)
     return sigmadf

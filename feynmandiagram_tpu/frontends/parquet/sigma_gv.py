@@ -22,6 +22,9 @@ from .filters import is_valid_g, is_valid_sigma
 from .operation import mergeby
 
 
+from . import _memo
+
+@_memo.scoped
 def sigmaGV(para: DiagPara, extK=None, subdiagram: bool = False, *,
             name: str = "Σ", blocks: ParquetBlocks = ParquetBlocks()) -> List[dict]:
     """(sigmaGV.jl:20-130)."""

@@ -18,6 +18,9 @@ from .filters import is_valid_g
 from .operation import mergeby
 
 
+from . import _memo
+
+@_memo.scoped
 def vertex3(para: DiagPara, _extK=None, subdiagram: bool = False, *,
             name: str = "Γ3", channels=(PHr, PHEr, PPr, Alli),
             blocks: ParquetBlocks = ParquetBlocks()) -> List[dict]:

@@ -64,6 +64,9 @@ def max_ver4_loop_idx(para: DiagPara) -> int:
     return para.firstLoopIdx + para.innerLoopNum - 1
 
 
+from . import _memo
+
+@_memo.scoped
 def vertex4(para: DiagPara, extK=None, subdiagram: bool = False, *,
             channels: Sequence[TwoBodyChannel] = (PHr, PHEr, PPr, Alli),
             level: int = 1, name: str = "none",
@@ -87,6 +90,17 @@ def vertex4(para: DiagPara, extK=None, subdiagram: bool = False, *,
             raise ValueError(f"expect dim of extK >= {para.totalLoopNum}, got {len(k)}")
     legK = [np.asarray(k[:para.totalLoopNum], float) for k in extK[:3]]
     legK.append(legK[0] + legK[2] - legK[1])
+
+    # repeated subproblem? return the shared rows (see _memo docstring);
+    # the row dicts are never mutated by consumers, the list is copied
+    cache = _memo.active()
+    mkey = None
+    if cache is not None:
+        mkey = ("ver4", para, tuple(k.tobytes() for k in legK[:3]), subdiagram,
+                tuple(channels), level, name, blocks, blockstoplevel)
+        hit = cache.get(mkey)
+        if hit is not None:
+            return list(hit)
 
     if para.totalTauNum < max_ver4_tau_idx(para):
         raise ValueError(f"Increase totalTauNum! {para}")
@@ -126,6 +140,8 @@ def vertex4(para: DiagPara, extK=None, subdiagram: bool = False, *,
         if row["extT"][0] != para.firstTauIdx:
             raise AssertionError(
                 f"not all extT[1] equal the first Tau index {para.firstTauIdx}")
+    if cache is not None:
+        cache[mkey] = list(ver4df)
     return ver4df
 
 
