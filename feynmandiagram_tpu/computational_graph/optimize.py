@@ -32,7 +32,10 @@ def optimize_inplace(graphs: Sequence[Graph], *, level: int = 0, verbose: int = 
     else:
         remove_duplicated_leaves_inplace(graphs, verbose=verbose, normalize=normalize)
     flatten_all_chains_inplace(graphs, verbose=verbose)
-    merge_all_linear_combinations_inplace(graphs, verbose=verbose)
+    # after full hash-consing every isequiv-equal pair is the same object,
+    # so the pairwise scan inside the merge pass is redundant
+    merge_all_linear_combinations_inplace(graphs, verbose=verbose,
+                                          identity_only=level > 0)
     remove_all_zero_valued_subgraphs_inplace(graphs, verbose=verbose)
     return graphs
 
@@ -81,10 +84,12 @@ def flatten_all_chains_inplace(graphs, *, verbose: int = 0):
     return graphs
 
 
-def merge_all_linear_combinations_inplace(graphs, *, verbose: int = 0):
+def merge_all_linear_combinations_inplace(graphs, *, verbose: int = 0,
+                                          identity_only: bool = False):
     if isinstance(graphs, Graph):
         graphs = [graphs]
-    _for_each_node_postorder(graphs, merge_linear_combination_inplace)
+    _for_each_node_postorder(
+        graphs, lambda n: merge_linear_combination_inplace(n, identity_only))
     return graphs
 
 

@@ -222,8 +222,14 @@ def remove_zero_valued_subgraphs(g: Graph) -> Graph:
 # merge_linear_combination / merge_multi_product (transform.jl:472-579)
 # ---------------------------------------------------------------------------
 
-def merge_linear_combination_inplace(g: Graph) -> Graph:
-    """3*g1 + 5*g2 + 7*g1 -> 10*g1 + 5*g2 (match modulo id)."""
+def merge_linear_combination_inplace(g: Graph, identity_only: bool = False) -> Graph:
+    """3*g1 + 5*g2 + 7*g1 -> 10*g1 + 5*g2 (match modulo id).
+
+    ``identity_only`` skips the O(k²) pairwise isequiv scan and merges only
+    identical child objects — exhaustive on a hash-consed DAG, where every
+    isequiv-equal pair is already the same object (the optimizer pipeline
+    passes this after ``remove_duplicated_nodes_inplace``).
+    """
     if g.operator.kind != "sum":
         return g
     # group identical child OBJECTS first (O(k)); on a hash-consed DAG this
@@ -240,6 +246,11 @@ def merge_linear_combination_inplace(g: Graph) -> Graph:
             order.append(key)
     subg = [by_obj[k][0] for k in order]
     subg_fac = [by_obj[k][1] for k in order]
+
+    if identity_only:
+        g.subgraphs = subg
+        g.subgraph_factors = subg_fac
+        return g
 
     added = [False] * len(subg)
     merged_subg: List[Graph] = []

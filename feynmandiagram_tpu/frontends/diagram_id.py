@@ -64,6 +64,8 @@ def mirror_symmetrize(k: Sequence[float]) -> Tuple[float, ...]:
 
 
 def _kapprox(a: Tuple[float, ...], b: Tuple[float, ...], rtol=1.49e-8) -> bool:
+    if a == b:  # fast path: memoized tuples make exact equality the norm
+        return True
     if len(a) != len(b):
         return False
     import math
