@@ -53,12 +53,16 @@ def main():
                                  sum_mode=sum_mode, merge_threshold=merge_threshold,
                                  graph_dtype=graph_dtype, acc_dtype=acc_dtype)
 
-    batch = int(os.environ.get("FDTPU_BENCH_BATCH", 4096))
+    # batch 1536 is the measured sweet spot on v5e: the [num_slots, batch]
+    # buffer stays in the fast-gather regime (~50 MB at order 4); throughput
+    # falls off a cliff above ~batch 2048 (PARITY.md batch scan)
+    batch = int(os.environ.get("FDTPU_BENCH_BATCH", 1536))
     rng = np.random.default_rng(0)
     varK = jax.device_put(rng.standard_normal((3, para.totalLoopNum, batch)).astype(np.float32))
     varT = jax.device_put((rng.random((para.totalLoopNum, batch)) * 0.5).astype(np.float32))
 
-    iters = int(os.environ.get("FDTPU_BENCH_ITERS", 20))
+    iters = int(os.environ.get("FDTPU_BENCH_ITERS", 50))
+    reps = int(os.environ.get("FDTPU_BENCH_REPS", 3))
     fused = os.environ.get("FDTPU_BENCH_FUSED", "0") == "1"
     if fused:
         # the production MC shape: the whole sampling+evaluation loop runs on
@@ -87,11 +91,16 @@ def main():
     else:
         out = compiled(varK, varT)
         jax.block_until_ready(out)  # compile + warmup
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = compiled(varK, varT)
-        jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
+        # median of `reps` timing repetitions: steady-state throughput,
+        # robust to one-off clock ramp / tunnel hiccups
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = compiled(varK, varT)
+            jax.block_until_ready(out)
+            times.append(time.perf_counter() - t0)
+        dt = sorted(times)[len(times) // 2]
 
     samples_per_s = batch * iters / dt
     edges_per_s = compiled.lowered.num_edges * samples_per_s
