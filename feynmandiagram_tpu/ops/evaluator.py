@@ -92,6 +92,25 @@ def _eval_levels(lowered: LoweredGraph, w: jnp.ndarray,
     return w
 
 
+def recommended_batch(lowered: LoweredGraph, *, dtype_bytes: int = 4,
+                      vmem_budget: int = 64 << 20, lane: int = 128,
+                      max_batch: int = 4096) -> int:
+    """Starting-point MC batch size for one chip: the largest lane-multiple
+    keeping the weight buffer ``num_slots * batch * dtype_bytes`` inside a
+    conservative VMEM budget.
+
+    Measured on v5e (PARITY.md batch scan): gathers against a VMEM-resident
+    buffer run ~60x faster than HBM-resident (11.1 TB/s vs 181 GB/s), so
+    throughput cliffs when the buffer outgrows VMEM (128 MB on v5e; the
+    default budget leaves room for bucket index tables and leaf buffers).
+    The optimum shifts with graph shape — sweep +-2x around this value on
+    the target chip.
+    """
+    b = vmem_budget // (dtype_bytes * max(lowered.num_slots, 1))
+    b = max(lane, int(b // lane) * lane)
+    return min(b, max_batch)
+
+
 def make_evaluator(lowered: LoweredGraph, *, dtype=None, jit: bool = True,
                    return_all: bool = False, acc_dtype=None,
                    compensated: bool = False):

@@ -377,3 +377,24 @@ class TestCompensatedSummation:
         err_kahan = np.abs(kahan - f64).max() / scale
         assert err_kahan <= err_plain * 1.05
         assert err_kahan < 5e-6, err_kahan
+
+
+class TestRecommendedBatch:
+    def test_vmem_rule(self):
+        """recommended_batch implements the measured VMEM-residency rule
+        (PARITY.md batch scan): largest lane multiple with
+        num_slots * batch * 4 B <= budget, clamped to [128, 4096]."""
+        from feynmandiagram_tpu.ops.evaluator import recommended_batch
+
+        class _L:
+            def __init__(self, n):
+                self.num_slots = n
+
+        # order-4 scale: 8,309 live slots, 64 MB budget -> 1920 lanes
+        b = recommended_batch(_L(8309))
+        assert b % 128 == 0
+        assert 8309 * b * 4 <= 64 << 20
+        assert 8309 * (b + 128) * 4 > 64 << 20
+        # tiny graphs clamp to max_batch, huge ones to one lane tile
+        assert recommended_batch(_L(10)) == 4096
+        assert recommended_batch(_L(10_000_000)) == 128
