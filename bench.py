@@ -61,9 +61,12 @@ def main():
     varK = jax.device_put(rng.standard_normal((3, para.totalLoopNum, batch)).astype(np.float32))
     varT = jax.device_put((rng.random((para.totalLoopNum, batch)) * 0.5).astype(np.float32))
 
-    iters = int(os.environ.get("FDTPU_BENCH_ITERS", 50))
     reps = int(os.environ.get("FDTPU_BENCH_REPS", 3))
-    fused = os.environ.get("FDTPU_BENCH_FUSED", "0") == "1"
+    # default mode is the production MC shape: sampling + leaf physics +
+    # graph eval all on device under one jit (fori_loop), no host dispatch
+    # per pass — measured fastest config (PARITY.md)
+    fused = os.environ.get("FDTPU_BENCH_FUSED", "1") == "1"
+    iters = int(os.environ.get("FDTPU_BENCH_ITERS", 200 if fused else 50))
     if fused:
         # the production MC shape: the whole sampling+evaluation loop runs on
         # device under one jit; per-iteration PRNG folding prevents folding
@@ -85,9 +88,12 @@ def main():
 
         key = jax.random.PRNGKey(0)
         jax.block_until_ready(mc_chunk(key))  # compile + warmup
-        t0 = time.perf_counter()
-        jax.block_until_ready(mc_chunk(jax.random.PRNGKey(1)))
-        dt = time.perf_counter() - t0
+        times = []
+        for r in range(1, reps + 1):
+            t0 = time.perf_counter()
+            jax.block_until_ready(mc_chunk(jax.random.PRNGKey(r)))
+            times.append(time.perf_counter() - t0)
+        dt = sorted(times)[len(times) // 2]
     else:
         out = compiled(varK, varT)
         jax.block_until_ready(out)  # compile + warmup
