@@ -96,7 +96,7 @@ def bucket_gather_reduce(w: jnp.ndarray, idx: np.ndarray, fac: np.ndarray, *,
             num_scalar_prefetch=2,  # idx + fac tables in SMEM
             grid=grid,
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),       # w stays off-chip
+                pl.BlockSpec(memory_space=pl.ANY),          # w stays off-chip
             ],
             out_specs=pl.BlockSpec((TILE_C, batch),
                                    lambda t, idx_ref, fac_ref: (t, 0),
