@@ -20,6 +20,13 @@ The kernel is therefore validated in interpreter mode and kept as the
 scaffold for future Mosaic gather support; the production evaluator uses
 XLA's native gather lowering (ops.evaluator), which measured faster than
 any Pallas formulation available under these constraints.
+
+Round-3 addendum: the VMEM-residency measurements (PARITY.md) close the
+question of whether a hand kernel could beat XLA here.  When the weight
+buffer fits in VMEM (the batch-sizing rule of ``recommended_batch``),
+XLA's gather already runs at ~11 TB/s — VMEM speed, nothing left to win;
+when it does not, throughput is capped by the DMA/HBM gather ceiling
+(~181 GB/s measured), which a Pallas kernel is equally subject to.
 """
 from __future__ import annotations
 
