@@ -7,6 +7,11 @@ phase -> Monte-Carlo tau integration.
 
 Run:  python examples/hubbard_atom.py
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import math
 
 from feynmandiagram_tpu.models.hubbard_atom import (exact_sigma,

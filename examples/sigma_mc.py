@@ -4,6 +4,11 @@ Parquet generation -> optimize -> fused TPU evaluation of 1e4+ Monte-Carlo
 samples -> crude importance-free estimator means.  Counterpart of the
 reference example/benchmark.jl driver.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import jax

@@ -3,6 +3,11 @@
 Builds order-2 sigma via Parquet, expands in G/V counterterm orders, and
 reports the op-count sharing statistics of the coefficient graphs.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 from feynmandiagram_tpu.computational_graph import count_operation, optimize_inplace

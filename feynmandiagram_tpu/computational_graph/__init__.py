@@ -32,4 +32,6 @@ from .common_config import set_datatype, get_datatype
 from .feynman_graph import (FeynmanGraph, FeynmanProperties, DiagramType,
                             feynman_diagram, propagator, interaction, external_vertex,
                             group_by_external, relabel, relabel_inplace, collect_labels,
-                            standardize_labels, standardize_labels_inplace)
+                            standardize_labels, standardize_labels_inplace,
+                            diagram_type, vertices, topology, is_external, is_internal,
+                            external_indices, external_legs)

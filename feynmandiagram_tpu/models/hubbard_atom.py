@@ -66,7 +66,7 @@ class HubbardSigma:
 
 def build_sigma_evaluator(order: int, beta: float, *, mu: float = 0.0,
                           matsubara_n: int = 0,
-                          dtype=jnp.float64) -> HubbardSigma:
+                          dtype=None) -> HubbardSigma:
     """Compile the order-``order`` sigma diagrams into one jitted function
     (varT, U) -> per-sample complex Sigma integrand (phase included)."""
     from ..frontends import Instant, UpDown
@@ -76,6 +76,10 @@ def build_sigma_evaluator(order: int, beta: float, *, mu: float = 0.0,
     from ..ops import lower
     from ..ops.evaluator import make_evaluator
     from ..ops.leaf_eval import leaf_tables_from_lowered
+
+    if dtype is None:
+        from ..ops.dtypes import default_device_dtype
+        dtype = default_device_dtype()
 
     para = DiagPara(type=SigmaDiag, innerLoopNum=order, hasTau=True,
                     interaction=(Interaction(UpDown, Instant),))
@@ -126,7 +130,7 @@ def build_sigma_evaluator(order: int, beta: float, *, mu: float = 0.0,
 
 def sigma_mc(order: int, U: float, beta: float, *, mu: float = 0.0,
              matsubara_n: int = 0, batch: int = 8192, chunks: int = 32,
-             seed: int = 0, dtype=jnp.float64) -> Tuple[complex, complex]:
+             seed: int = 0, dtype=None) -> Tuple[complex, complex]:
     """Uniform-tau Monte-Carlo estimate of Sigma^(order)(i*omega_n).
 
     varT[0] is pinned to 0 (hubbard.jl:76-78); the remaining num_tau-1
@@ -134,6 +138,9 @@ def sigma_mc(order: int, U: float, beta: float, *, mu: float = 0.0,
     beta^(num_tau-1) * mean(integrand).  Returns (mean, stderr) with stderr
     reported per real/imag component.
     """
+    if dtype is None:
+        from ..ops.dtypes import default_device_dtype
+        dtype = default_device_dtype()
     hs = build_sigma_evaluator(order, beta, mu=mu, matsubara_n=matsubara_n,
                                dtype=dtype)
     nfree = hs.num_tau - 1
