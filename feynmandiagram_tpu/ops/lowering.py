@@ -212,7 +212,8 @@ def _cse_records(recs: List[_Rec], root_recs: List[int]) -> List[int]:
 def lower(roots: Sequence[Graph], leafmap: Optional[Dict[int, int]] = None,
           dtype=np.float64, *, sum_mode: str = "csr",
           max_sum_arity: int = 64, merge_threshold: int = 0,
-          cse: bool = False, reuse_slots: Optional[bool] = None) -> LoweredGraph:
+          cse: bool = False, reuse_slots: Optional[bool] = None,
+          schedule: str = "alap") -> LoweredGraph:
     """Lower root graphs into a LoweredGraph.
 
     ``leafmap`` maps leaf uid -> leaf-value index; when given, leaf slot k
@@ -236,6 +237,12 @@ def lower(roots: Sequence[Graph], leafmap: Optional[Dict[int, int]] = None,
     roughly the live working set (~3x on order-4 vertex4, far more on
     order-6), cutting buffer-init traffic and HBM footprint — required for
     graphs whose full slot count exceeds per-chip HBM (BASELINE config 5).
+
+    ``schedule``: level assignment of internal nodes.  'asap' = earliest
+    (1 + max child level); 'alap' (default) = latest level strictly below
+    every consumer — shorter lifetimes, smaller peak live set, hence a
+    larger VMEM-resident batch under the ``recommended_batch`` sizing rule.
+    Roots and leaves are pinned; both schedules respect all dependencies.
     """
     # ---- collect records (object-identity traversal; leaves dedup by uid)
     recs: List[_Rec] = []
@@ -410,6 +417,31 @@ def lower(roots: Sequence[Graph], leafmap: Optional[Dict[int, int]] = None,
             for c in eff_children(i):
                 if not state[c]:
                     stack.append((c, False))
+
+    # ---- ALAP: pull each internal non-root node down to just above its
+    # earliest consumer (consumer depths are final when visited: sorting by
+    # ASAP depth descending processes consumers before their producers,
+    # since depth[consumer] > depth[producer] always)
+    if schedule == "alap":
+        root_set_sched = set(root_recs)
+        consumer_min = [None] * len(recs)
+        # descending ASAP order visits every consumer before its producers
+        # (depth[consumer] > depth[producer] strictly), so depth[i] is final
+        # when visited and can be propagated into its children's minima
+        order_desc = sorted((i for i in range(len(recs)) if i not in inline_set),
+                            key=lambda i: -depth[i])
+        for i in order_desc:
+            movable = (depth[i] > 0 and i not in root_set_sched
+                       and recs[i].op not in ("leaf", "const"))
+            if movable and consumer_min[i] is not None \
+                    and consumer_min[i] - 1 > depth[i]:
+                depth[i] = consumer_min[i] - 1
+            d = depth[i]
+            for c in eff_children(i):
+                if consumer_min[c] is None or d < consumer_min[c]:
+                    consumer_min[c] = d
+    elif schedule != "asap":
+        raise ValueError(f"unknown schedule {schedule!r}")
 
     # ---- slot assignment
     leaf_recs = [i for i, r in enumerate(recs) if r.op == "leaf"]
