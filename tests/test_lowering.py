@@ -398,3 +398,31 @@ class TestRecommendedBatch:
         # tiny graphs clamp to max_batch, huge ones to one lane tile
         assert recommended_batch(_L(10)) == 4096
         assert recommended_batch(_L(10_000_000)) == 128
+
+
+class TestSchedule:
+    def test_alap_equals_asap_and_shrinks_peak(self):
+        """ALAP scheduling preserves values exactly and never enlarges the
+        peak live set (the slot-reuse buffer)."""
+        import numpy as np
+        from feynmandiagram_tpu.frontends import ChargeCharge, Instant, NoHartree
+        from feynmandiagram_tpu.frontends.parquet import (DiagPara, Interaction,
+                                                          Ver4Diag, vertex4)
+        from feynmandiagram_tpu.computational_graph import optimize_inplace
+        from feynmandiagram_tpu.ops.lowering import lower
+        from feynmandiagram_tpu.ops.evaluator import make_evaluator
+
+        para = DiagPara(type=Ver4Diag, innerLoopNum=3, hasTau=True,
+                        filter=(NoHartree,),
+                        interaction=(Interaction(ChargeCharge, Instant),))
+        roots = [r["diagram"] for r in vertex4(para)]
+        optimize_inplace(roots, level=1)
+        la = lower(roots, sum_mode="fused", schedule="asap")
+        lb = lower(roots, sum_mode="fused", schedule="alap")
+        assert lb.num_slots <= la.num_slots
+        assert lb.num_edges == la.num_edges
+        rng = np.random.default_rng(7)
+        leaf = rng.uniform(0.5, 2.0, (la.num_leaves - len(la.const_slots), 4))
+        oa = np.asarray(make_evaluator(la, dtype=np.float64)(leaf))
+        ob = np.asarray(make_evaluator(lb, dtype=np.float64)(leaf))
+        np.testing.assert_allclose(oa, ob, rtol=1e-12)
