@@ -27,11 +27,15 @@ def optimize_inplace(graphs: Sequence[Graph], *, level: int = 0, verbose: int = 
     """
     if not graphs:
         return None
+    # flatten BEFORE hash-consing: chain flattening can turn structurally
+    # distinct nodes into equal ones, so running it after dedup would break
+    # the identity-only invariant the merge pass relies on (every
+    # isequiv-equal pair is the same object) — ADVICE r3
+    flatten_all_chains_inplace(graphs, verbose=verbose)
     if level > 0:
         remove_duplicated_nodes_inplace(graphs, verbose=verbose)
     else:
         remove_duplicated_leaves_inplace(graphs, verbose=verbose, normalize=normalize)
-    flatten_all_chains_inplace(graphs, verbose=verbose)
     # after full hash-consing every isequiv-equal pair is the same object,
     # so the pairwise scan inside the merge pass is redundant
     merge_all_linear_combinations_inplace(graphs, verbose=verbose,

@@ -22,9 +22,20 @@ _ROUND = 8  # digits for hashing float momenta (values are small integers)
 # reused across hundreds of thousands of id constructions but drawn from a
 # small set of distinct values (loop-basis combinations), so a bytes-keyed
 # memo turns the per-id conversion into one dict lookup.  Keyed on
-# (dtype, bytes) so identical bytes of different dtypes cannot collide.
+# (dtype.str, bytes): dtype.str includes byte order, so a big-endian array
+# aliasing a little-endian one's bytes cannot collide.  Size-capped (pure
+# memo — clearing is always safe) so long-lived processes running many
+# builds with different loop bases cannot grow them unboundedly.
 _KTUP_CACHE: dict = {}
 _MSYM_CACHE: dict = {}
+_CACHE_CAP = 1 << 18
+
+
+def _cache_put(cache: dict, key, value):
+    if len(cache) >= _CACHE_CAP:
+        cache.clear()
+    cache[key] = value
+    return value
 
 
 def as_ktuple(k) -> Tuple[float, ...]:
@@ -32,11 +43,10 @@ def as_ktuple(k) -> Tuple[float, ...]:
     if isinstance(k, tuple):
         return k
     if isinstance(k, _np.ndarray):
-        key = (k.dtype.char, k.tobytes())
+        key = (k.dtype.str, k.tobytes())
         t = _KTUP_CACHE.get(key)
         if t is None:
-            t = tuple(k.tolist())
-            _KTUP_CACHE[key] = t
+            t = _cache_put(_KTUP_CACHE, key, tuple(k.tolist()))
         return t
     return tuple(float(x) for x in k)
 
@@ -54,11 +64,10 @@ def mirror_symmetrize(k: Sequence[float]) -> Tuple[float, ...]:
     """Canonicalize the momentum sign: first nonzero entry positive
     (diagram_id.jl:81-96)."""
     if isinstance(k, _np.ndarray):
-        key = (k.dtype.char, k.tobytes())
+        key = (k.dtype.str, k.tobytes())
         t = _MSYM_CACHE.get(key)
         if t is None:
-            t = _mirror_of(tuple(k.tolist()))
-            _MSYM_CACHE[key] = t
+            t = _cache_put(_MSYM_CACHE, key, _mirror_of(tuple(k.tolist())))
         return t
     return _mirror_of(tuple(float(x) for x in k))
 

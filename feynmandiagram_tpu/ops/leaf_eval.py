@@ -115,23 +115,25 @@ def make_leaf_evaluator(tables: LeafTables, *, beta: float, kF: float, lam: floa
         varT = jnp.asarray(varT, dtype)
         batch = varK.shape[-1]
         # LoopPool.update as one batched matmul (pool.jl:69-76)
-        loops = jnp.einsum("nl,dlb->dnb", basis, varK)     # [dim, n_basis, batch]
-        q2 = jnp.sum(loops * loops, axis=0)                # [n_basis, batch]
+        with jax.named_scope("loops"):
+            loops = jnp.einsum("nl,dlb->dnb", basis, varK)  # [dim, n_basis, batch]
+            q2 = jnp.sum(loops * loops, axis=0)             # [n_basis, batch]
         out = jnp.ones((tables.num_leaves, batch), dtype)
         for t, order, idx in groups:
             if len(idx) == 0:
                 continue
             gidx = jnp.asarray(idx)
-            q2_g = q2[loop_idx[gidx]]                      # [n_g, batch]
-            if t == 1:
-                tau = varT[tau_out[gidx]] - varT[tau_in[gidx]]
-                eps = q2_g - kF ** 2
-                vals = green_derive_tower(tau, eps, beta, order)
-            else:
-                vals = interaction_derive(q2_g, lam, order,
-                                          convention=interaction_convention)
-                vals = jnp.broadcast_to(vals, (len(idx), batch))
-            out = out.at[gidx].set(vals.astype(dtype))
+            with jax.named_scope(f"leaf{'G' if t == 1 else 'V'}{order}"):
+                q2_g = q2[loop_idx[gidx]]                  # [n_g, batch]
+                if t == 1:
+                    tau = varT[tau_out[gidx]] - varT[tau_in[gidx]]
+                    eps = q2_g - kF ** 2
+                    vals = green_derive_tower(tau, eps, beta, order)
+                else:
+                    vals = interaction_derive(q2_g, lam, order,
+                                              convention=interaction_convention)
+                    vals = jnp.broadcast_to(vals, (len(idx), batch))
+                out = out.at[gidx].set(vals.astype(dtype))
         return out
 
     return evaluate

@@ -77,3 +77,28 @@ class TestCountertermEquivalence:
                 expected = eval_graph(graphs[i])
                 got = eval_graph(tvec[i].coeffs[key])
                 assert got == pytest.approx(expected), (order, i)
+
+    def test_sigma3_counterterms(self):
+        """Same contract at base order 3 (taylor.jl:97-113; VERDICT r3 #6).
+
+        Order-3 counterterm files exercise deeper Taylor-product
+        convolutions and per-variable order capping than the order-2 case
+        the reference tests stop at.
+        """
+        orders = [(3, 0, 0), (3, 1, 0), (3, 0, 1), (3, 1, 1), (3, 2, 0),
+                  (3, 0, 2), (3, 2, 1)]
+        dict_g = {}
+        for o in orders:
+            dict_g[o] = diagsGV("sigma", *o)[0]
+
+        diags = dict_g[(3, 0, 0)]
+        set_variables("x y", orders=[3, 3])
+        propagator_var = ([True, False], [False, True])  # fermi: x, bose: y
+        tvec, _ = taylorexpansion_feynman(diags, propagator_var)
+
+        for order, graphs in dict_g.items():
+            key = (order[1], order[2])  # (GOrder, VerOrder)
+            for i in range(min(2, len(graphs))):
+                expected = eval_graph(graphs[i])
+                got = eval_graph(tvec[i].coeffs[key])
+                assert got == pytest.approx(expected), (order, i)
