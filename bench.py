@@ -53,10 +53,11 @@ def main():
                                  sum_mode=sum_mode, merge_threshold=merge_threshold,
                                  graph_dtype=graph_dtype, acc_dtype=acc_dtype)
 
-    # batch 1536 is the measured sweet spot on v5e: the [num_slots, batch]
-    # buffer stays in the fast-gather regime (~50 MB at order 4); throughput
-    # falls off a cliff above ~batch 2048 (PARITY.md batch scan)
-    batch = int(os.environ.get("FDTPU_BENCH_BATCH", 1536))
+    # batch 2048 = 16 sublane-tiles x 128 lanes: the tile-row layout
+    # ([num_slots, 16, 128] weight buffer, 65 MB at order 4 — VMEM-resident)
+    # is the measured sweet spot on v5e (PARITY.md batch scan + tile-layout
+    # profile); tile layout needs batch % 1024 == 0
+    batch = int(os.environ.get("FDTPU_BENCH_BATCH", 2048))
     rng = np.random.default_rng(0)
     varK = jax.device_put(rng.standard_normal((3, para.totalLoopNum, batch)).astype(np.float32))
     varT = jax.device_put((rng.random((para.totalLoopNum, batch)) * 0.5).astype(np.float32))

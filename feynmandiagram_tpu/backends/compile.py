@@ -62,7 +62,8 @@ def compile_evaluator(roots: Sequence[Graph], *, max_loop_num: int,
                       jit: bool = True, sum_mode: str = "fused",
                       merge_threshold: int = 0, graph_dtype=None,
                       acc_dtype=None, cse: bool = True,
-                      compensated: bool = False) -> CompiledEvaluator:
+                      compensated: bool = False,
+                      layout: str = "auto") -> CompiledEvaluator:
     """Lower ``roots`` and build the fused batched evaluator.
 
     - ``varK``: [dim, max_loop_num, batch] loop-momentum samples
@@ -84,9 +85,12 @@ def compile_evaluator(roots: Sequence[Graph], *, max_loop_num: int,
                     merge_threshold=merge_threshold, cse=cse)
     tables = leaf_tables_from_lowered(lowered, leaf_graphs_of(roots), max_loop_num)
     leaf_fn = make_leaf_evaluator(tables, beta=beta, kF=kF, lam=lam, dtype=dtype,
-                                  interaction_convention=interaction_convention)
+                                  interaction_convention=interaction_convention,
+                                  layout=(layout if sum_mode == "fused"
+                                          and graph_dtype is None else "flat"))
     graph_fn = make_evaluator(lowered, dtype=graph_dtype or dtype, jit=False,
-                              acc_dtype=acc_dtype, compensated=compensated)
+                              acc_dtype=acc_dtype, compensated=compensated,
+                              layout=layout)
 
     def fn(varK, varT):
         leaf_values = leaf_fn(varK, varT)

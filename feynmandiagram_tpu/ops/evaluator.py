@@ -27,6 +27,13 @@ from .lowering import LoweredGraph, lower
 from ..computational_graph.graph import Graph
 
 
+def _take(w, idx):
+    """Row gather without the bounds-clamp op: all index tables are built
+    host-side from slot assignments and are in bounds by construction.
+    Measured on v5e: the clamp fusions cost ~8% of the graph phase."""
+    return w.at[idx].get(mode="promise_in_bounds")
+
+
 def _compensated_reduce(block: jnp.ndarray) -> jnp.ndarray:
     """Kahan-compensated sum over axis 0 (SURVEY §7.3 item 4).
 
@@ -62,33 +69,114 @@ def _eval_levels(lowered: LoweredGraph, w: jnp.ndarray,
     a = acc_dtype or w.dtype
     reduce0 = _compensated_reduce if compensated else (
         lambda b: jnp.sum(b, axis=0))
-    for level in lowered.levels:
+    for li, level in enumerate(lowered.levels):
+      # named scopes attach tf_op metadata so jax.profiler traces attribute
+      # device time to (level, bucket shape) — see benchmarks/profile_pass.py
+      with jax.named_scope(f"gL{li:02d}"):
         if level.sums is not None:
             s = level.sums
-            contrib = w[s.edge_src].astype(a) * s.edge_factor[:, None].astype(a)
-            block = jax.ops.segment_sum(contrib, s.edge_seg, num_segments=s.count,
-                                        indices_are_sorted=True)
-            w = jax.lax.dynamic_update_slice_in_dim(w, block.astype(w.dtype), s.start, axis=0)
+            with jax.named_scope("csr"):
+                contrib = _take(w, s.edge_src).astype(a) * s.edge_factor[:, None].astype(a)
+                block = jax.ops.segment_sum(contrib, s.edge_seg, num_segments=s.count,
+                                            indices_are_sorted=True)
+                w = jax.lax.dynamic_update_slice_in_dim(w, block.astype(w.dtype), s.start, axis=0)
         for sb in level.sum_buckets:
             # dense gather + reduce over the padded fan-in axis (no scatter)
-            block = reduce0(w[sb.idx].astype(a) * sb.fac[:, :, None].astype(a))
-            w = jax.lax.dynamic_update_slice_in_dim(w, block.astype(w.dtype), sb.start, axis=0)
+            with jax.named_scope(f"sb{sb.arity}"):
+                block = reduce0(_take(w, sb.idx).astype(a) * sb.fac[:, :, None].astype(a))
+                w = jax.lax.dynamic_update_slice_in_dim(w, block.astype(w.dtype), sb.start, axis=0)
         for fb in level.fused:
             # uniform sum-of-products: out[c] = sum_a fac[a,c] * prod_k w[idx[k,a,c]]
-            block = w[fb.idx[0]].astype(a) * fb.fac[:, :, None].astype(a)
-            for k in range(1, fb.n_op):
-                block = block * w[fb.idx[k]].astype(a)
-            block = reduce0(block)
-            w = jax.lax.dynamic_update_slice_in_dim(w, block.astype(w.dtype), fb.start, axis=0)
+            # per-operand row gathers, tile-aligned blocks.  Two measured
+            # dead ends on v5e (PARITY.md profile table): a combined
+            # [n_op*arity*count]-row gather per level amortizes gather
+            # startup but its ~30 MB result spills to HBM (0.60x), and a
+            # single [n_op, arity, count]-index gather per bucket adds
+            # layout-fix copies (0.79x).
+            with jax.named_scope(f"fb{fb.arity}x{fb.n_op}"):
+                block = _take(w, fb.idx[0]).astype(a) * fb.fac[:, :, None].astype(a)
+                for k in range(1, fb.n_op):
+                    block = block * _take(w, fb.idx[k]).astype(a)
+                block = reduce0(block)
+                w = jax.lax.dynamic_update_slice_in_dim(w, block.astype(w.dtype), fb.start, axis=0)
         for p in level.prods:
-            block = w[p.idx[0]].astype(a)
-            for k in range(1, p.arity):
-                block = block * w[p.idx[k]].astype(a)
-            block = block * p.factor[:, None].astype(a)
-            w = jax.lax.dynamic_update_slice_in_dim(w, block.astype(w.dtype), p.start, axis=0)
+            with jax.named_scope(f"prod{p.arity}"):
+                block = _take(w, p.idx[0]).astype(a)
+                for k in range(1, p.arity):
+                    block = block * _take(w, p.idx[k]).astype(a)
+                block = block * p.factor[:, None].astype(a)
+                w = jax.lax.dynamic_update_slice_in_dim(w, block.astype(w.dtype), p.start, axis=0)
         for pw in level.pows:
-            block = jax.lax.integer_pow(w[pw.src].astype(a), pw.n) * pw.factor[:, None].astype(a)
-            w = jax.lax.dynamic_update_slice_in_dim(w, block.astype(w.dtype), pw.start, axis=0)
+            with jax.named_scope(f"pow{pw.n}"):
+                block = jax.lax.integer_pow(_take(w, pw.src).astype(a), pw.n) * pw.factor[:, None].astype(a)
+                w = jax.lax.dynamic_update_slice_in_dim(w, block.astype(w.dtype), pw.start, axis=0)
+    return w
+
+
+def _eval_levels_tile(lowered: LoweredGraph, w: jnp.ndarray,
+                      acc_dtype=None, compensated: bool = False,
+                      unroll_max: int = 8, split_count: int = 64) -> jnp.ndarray:
+    """Tile-row variant of ``_eval_levels``: ``w`` is [num_slots, nsub, 128].
+
+    Each graph row is a whole number of (8, 128) tiles, so a row gather
+    moves full tiles instead of single sublanes — measured 2-4x the
+    row-gather throughput of the flat [num_slots, batch] layout on v5e,
+    where the gather engine reads the full 8-row sublane tile per gathered
+    row (PARITY.md profile table).  Buckets with arity <= ``unroll_max``
+    additionally unroll the term sum into per-term row gathers whose
+    multiply-adds fuse into the slot update (measured: the 4-D
+    multiply_reduce fusion is ~4x slower than the same flops as unrolled
+    fused adds).  Requires sum_mode='fused' lowering.
+    """
+    a = acc_dtype or w.dtype
+    for li, level in enumerate(lowered.levels):
+      if level.sums is not None or level.sum_buckets or level.prods:
+          raise ValueError("tile layout requires sum_mode='fused' lowering")
+      with jax.named_scope(f"gL{li:02d}"):
+        for fb in level.fused:
+            with jax.named_scope(f"fb{fb.arity}x{fb.n_op}"):
+                # Gather strategy (measured on v5e, PARITY.md profile
+                # table): per-(operand, term) gathers amortize best for
+                # LARGE buckets (count >= split_count); for small buckets
+                # the ~0.3 us per-gather startup dominates, so gather once
+                # per operand position ([arity, count] indices) and unroll
+                # the term sum as slice-adds (the fused 4-D multiply_reduce
+                # is ~4x slower than the same flops as unrolled adds).
+                if fb.count >= split_count and fb.arity <= unroll_max:
+                    def term(t):
+                        part = _take(w, fb.idx[0, t]).astype(a) \
+                            * fb.fac[t][:, None, None].astype(a)
+                        for k in range(1, fb.n_op):
+                            part = part * _take(w, fb.idx[k, t]).astype(a)
+                        return part
+                else:
+                    gs = [_take(w, fb.idx[k]).astype(a)
+                          for k in range(fb.n_op)]
+
+                    def term(t):
+                        part = gs[0][t] * fb.fac[t][:, None, None].astype(a)
+                        for k in range(1, fb.n_op):
+                            part = part * gs[k][t]
+                        return part
+                blk = term(0)
+                comp = jnp.zeros_like(blk) if compensated else None
+                for t in range(1, fb.arity):
+                    part = term(t)
+                    if compensated:
+                        y = part - comp
+                        tsum = blk + y
+                        comp = (tsum - blk) - y
+                        blk = tsum
+                    else:
+                        blk = blk + part
+                w = jax.lax.dynamic_update_slice_in_dim(
+                    w, blk.astype(w.dtype), fb.start, axis=0)
+        for pw in level.pows:
+            with jax.named_scope(f"pow{pw.n}"):
+                blk = jax.lax.integer_pow(_take(w, pw.src).astype(a), pw.n) \
+                    * pw.factor[:, None, None].astype(a)
+                w = jax.lax.dynamic_update_slice_in_dim(
+                    w, blk.astype(w.dtype), pw.start, axis=0)
     return w
 
 
@@ -113,7 +201,7 @@ def recommended_batch(lowered: LoweredGraph, *, dtype_bytes: int = 4,
 
 def make_evaluator(lowered: LoweredGraph, *, dtype=None, jit: bool = True,
                    return_all: bool = False, acc_dtype=None,
-                   compensated: bool = False):
+                   compensated: bool = False, layout: str = "auto"):
     """Build ``f(leaf_values[num_leaves, batch]) -> roots[num_roots, batch]``.
 
     ``leaf_values`` covers the non-constant leaf slots (0..nl-1); constant
@@ -123,6 +211,13 @@ def make_evaluator(lowered: LoweredGraph, *, dtype=None, jit: bool = True,
     ``dtype=jnp.bfloat16, acc_dtype=jnp.float32`` selects the bf16-storage
     mode: the weight buffer (the HBM bandwidth bottleneck) is half-width,
     arithmetic accumulates in f32, outputs are returned in ``acc_dtype``.
+
+    ``layout``: 'flat' keeps the weight buffer [num_slots, batch];
+    'tile' reshapes it to [num_slots, batch//128, 128] so every graph row
+    is a whole number of (8, 128) TPU tiles — 2-4x faster row gathers (see
+    ``_eval_levels_tile``).  'auto' (default) picks 'tile' on TPU for
+    fused-mode f32 lowerings when the batch is a multiple of 1024,
+    else 'flat'.  Results are identical up to summation order.
     """
     if dtype is None:
         from .dtypes import default_device_dtype
@@ -133,21 +228,61 @@ def make_evaluator(lowered: LoweredGraph, *, dtype=None, jit: bool = True,
     nl_input = nl_total - n_const
     const_values = jnp.asarray(lowered.const_values, dtype)
     root_slots = jnp.asarray(lowered.root_slots)
+    fused_only = all(lvl.sums is None and not lvl.sum_buckets and not lvl.prods
+                     for lvl in lowered.levels)
+    if layout not in ("auto", "flat", "tile"):
+        raise ValueError(f"unknown layout {layout!r}")
+    if layout == "tile" and not fused_only:
+        raise ValueError("layout='tile' requires sum_mode='fused' lowering")
+
+    def _tile_ok(batch: int) -> bool:
+        if not fused_only or jnp.dtype(dtype).itemsize != 4:
+            return False
+        if layout == "flat":
+            return False
+        if layout == "auto":
+            if jax.devices()[0].platform == "cpu":
+                return False
+            return batch % 1024 == 0
+        if batch % 1024 != 0:
+            raise ValueError("layout='tile' needs batch % 1024 == 0")
+        return True
 
     def evaluate(leaf_values: jnp.ndarray) -> jnp.ndarray:
         leaf_values = jnp.asarray(leaf_values, dtype)
         if leaf_values.ndim == 1:
             leaf_values = leaf_values[:, None]
-        batch = leaf_values.shape[1]
-        w = jnp.zeros((num_slots, batch), dtype)
+        if leaf_values.ndim == 3:
+            # pre-tiled [nl, nsub, 128] input (a tile-layout leaf evaluator)
+            if leaf_values.shape[2] != 128 or not fused_only:
+                raise ValueError("3-D leaf input must be [nl, nsub, 128] "
+                                 "for a fused-mode lowering")
+            batch = leaf_values.shape[1] * 128
+            tile = True
+        else:
+            batch = leaf_values.shape[1]
+            tile = _tile_ok(batch)
+        if tile:
+            nsub = batch // 128
+            leaf_values = leaf_values.reshape(nl_input, nsub, 128)
+            w = jnp.zeros((num_slots, nsub, 128), dtype)
+        else:
+            w = jnp.zeros((num_slots, batch), dtype)
         w = jax.lax.dynamic_update_slice_in_dim(w, leaf_values, 0, axis=0)
         if n_const:
-            cv = jnp.broadcast_to(const_values[:, None], (n_const, batch))
+            cv = jnp.broadcast_to(
+                const_values.reshape((n_const,) + (1,) * (w.ndim - 1)),
+                (n_const,) + w.shape[1:])
             w = jax.lax.dynamic_update_slice_in_dim(w, cv, nl_input, axis=0)
-        w = _eval_levels(lowered, w, acc_dtype, compensated)
+        if tile:
+            w = _eval_levels_tile(lowered, w, acc_dtype, compensated)
+        else:
+            w = _eval_levels(lowered, w, acc_dtype, compensated)
         if return_all:
-            return w
+            return w.reshape(num_slots, batch) if tile else w
         out = w[root_slots]
+        if tile:
+            out = out.reshape(len(lowered.root_slots), batch)
         return out.astype(acc_dtype) if acc_dtype is not None else out
 
     return jax.jit(evaluate) if jit else evaluate

@@ -88,11 +88,17 @@ def leaf_tables_from_lowered(lowered, leaf_graphs: Dict[int, "Graph"],
 
 
 def make_leaf_evaluator(tables: LeafTables, *, beta: float, kF: float, lam: float,
-                        dtype=None, interaction_convention: str = "lambda_power"):
+                        dtype=None, interaction_convention: str = "lambda_power",
+                        layout: str = "flat"):
     """Build ``f(varK, varT) -> leaf_values[num_leaves, batch]``.
 
     - ``varK``: [dim, max_loop_num, batch] sampled loop momenta
     - ``varT``: [num_tau, batch] sampled imaginary times
+    - ``layout``: 'tile' (or 'auto' on TPU with batch % 1024 == 0 and f32)
+      emits ``[num_leaves, batch//128, 128]`` natively — the tile-row form
+      the tile-layout graph evaluator consumes — so the expensive
+      [num_leaves, batch] layout conversion at the phase boundary is
+      replaced by two tiny reshapes of the [n_basis]/[num_tau] tables.
     """
     if dtype is None:
         from .dtypes import default_device_dtype
@@ -114,17 +120,27 @@ def make_leaf_evaluator(tables: LeafTables, *, beta: float, kF: float, lam: floa
         varK = jnp.asarray(varK, dtype)
         varT = jnp.asarray(varT, dtype)
         batch = varK.shape[-1]
+        tile = layout == "tile" or (
+            layout == "auto" and batch % 1024 == 0
+            and jnp.dtype(dtype).itemsize == 4
+            and jax.devices()[0].platform != "cpu")
         # LoopPool.update as one batched matmul (pool.jl:69-76)
         with jax.named_scope("loops"):
             loops = jnp.einsum("nl,dlb->dnb", basis, varK)  # [dim, n_basis, batch]
             q2 = jnp.sum(loops * loops, axis=0)             # [n_basis, batch]
-        out = jnp.ones((tables.num_leaves, batch), dtype)
+        if tile:
+            nsub = batch // 128
+            q2 = q2.reshape(len(q2), nsub, 128)
+            varT = varT.reshape(len(varT), nsub, 128)
+            out = jnp.ones((tables.num_leaves, nsub, 128), dtype)
+        else:
+            out = jnp.ones((tables.num_leaves, batch), dtype)
         for t, order, idx in groups:
             if len(idx) == 0:
                 continue
             gidx = jnp.asarray(idx)
             with jax.named_scope(f"leaf{'G' if t == 1 else 'V'}{order}"):
-                q2_g = q2[loop_idx[gidx]]                  # [n_g, batch]
+                q2_g = q2[loop_idx[gidx]]                  # [n_g, batch...]
                 if t == 1:
                     tau = varT[tau_out[gidx]] - varT[tau_in[gidx]]
                     eps = q2_g - kF ** 2
@@ -132,7 +148,7 @@ def make_leaf_evaluator(tables: LeafTables, *, beta: float, kF: float, lam: floa
                 else:
                     vals = interaction_derive(q2_g, lam, order,
                                               convention=interaction_convention)
-                    vals = jnp.broadcast_to(vals, (len(idx), batch))
+                    vals = jnp.broadcast_to(vals, q2_g.shape)
                 out = out.at[gidx].set(vals.astype(dtype))
         return out
 

@@ -33,6 +33,17 @@ from ..computational_graph.graph import Graph
 
 MAX_PROD_ARITY = 4
 
+# fused-mode slot alignment: bucket outputs are padded/aligned to the TPU
+# f32 sublane tile (8 rows) so the gather's [A*C, B] -> [A, C, B] reshape is
+# a layout-preserving bitcast and the per-bucket dynamic-update-slice writes
+# whole tiles.  Measured on v5e (PARITY.md profile table): unaligned
+# reshapes/updates are real copies costing ~30% of the graph phase.
+TILE_ROWS = 8
+
+
+def _pad_to(n: int, k: int) -> int:
+    return ((n + k - 1) // k) * k
+
 
 @dataclass
 class _Rec:
@@ -240,9 +251,14 @@ def lower(roots: Sequence[Graph], leafmap: Optional[Dict[int, int]] = None,
 
     ``schedule``: level assignment of internal nodes.  'asap' = earliest
     (1 + max child level); 'alap' (default) = latest level strictly below
-    every consumer — shorter lifetimes, smaller peak live set, hence a
-    larger VMEM-resident batch under the ``recommended_batch`` sizing rule.
-    Roots and leaves are pinned; both schedules respect all dependencies.
+    every consumer — TYPICALLY shorter lifetimes and a smaller peak live
+    set, hence a larger VMEM-resident batch under the ``recommended_batch``
+    sizing rule.  Not a guarantee: with cse=True the interaction with
+    bucket grouping can make ALAP peak slightly larger (measured 1122 vs
+    1086 on order-3 vertex4, ADVICE r3); outputs are exactly equal either
+    way, so callers chasing the last few slots should lower with both and
+    keep the smaller.  Roots and leaves are pinned; both schedules respect
+    all dependencies.
     """
     # ---- collect records (object-identity traversal; leaves dedup by uid)
     recs: List[_Rec] = []
@@ -518,34 +534,50 @@ def lower(roots: Sequence[Graph], leafmap: Optional[Dict[int, int]] = None,
                     merged.append([s, e])
             self.intervals = merged
 
-        def alloc(self, count: int) -> int:
+        def alloc(self, count: int, align: int = 1) -> int:
             self._merge()
             for k, (s, e) in enumerate(self.intervals):
-                if e - s >= count:
-                    if e - s == count:
+                s_al = _pad_to(s, align)
+                if e - s_al >= count:
+                    if s_al > s:
+                        self.intervals[k] = [s, s_al]
+                        if e > s_al + count:
+                            self.intervals.insert(k + 1, [s_al + count, e])
+                    elif e - s == count:
                         del self.intervals[k]
                     else:
                         self.intervals[k][0] = s + count
-                    return s
-            s = self.top
-            self.top += count
+                    return s_al
+            s = _pad_to(self.top, align)
+            if s > self.top:
+                self.intervals.append([self.top, s])
+                self.intervals.sort()
+            self.top = s + count
             return s
 
     pool = _SlotPool(num_leaf_slots)
     free_events: Dict[int, List[int]] = {}
+    align = TILE_ROWS if sum_mode == "fused" else 1
 
     def alloc_group(group: List[int], lev: int) -> int:
-        """Assign a contiguous slot range to ``group``; register liveness."""
+        """Assign a contiguous (aligned, padded) slot range to ``group``;
+        register liveness.  Padding slots beyond ``len(group)`` hold the
+        zero rows the padded bucket writes; they are freed right after this
+        level so the reuse pool recycles them."""
         nonlocal next_slot
+        n_pad = _pad_to(len(group), align)
         if reuse_slots:
-            start = pool.alloc(len(group))
+            start = pool.alloc(n_pad, align)
         else:
-            start = next_slot
-        next_slot += len(group)
+            start = next_slot = _pad_to(next_slot, align)
+        next_slot += n_pad
         for k, i in enumerate(group):
             slot_of[i] = start + k
             if reuse_slots and last_read[i] != PINNED:
                 free_events.setdefault(last_read[i], []).append(start + k)
+        if reuse_slots:
+            for k in range(len(group), n_pad):
+                free_events.setdefault(lev, []).append(start + k)
         return start
 
     for lev in range(1, max_depth + 1):
@@ -615,9 +647,10 @@ def lower(roots: Sequence[Graph], leafmap: Optional[Dict[int, int]] = None,
             for (arity, n_op), group in sorted(
                     by_key.items(), key=lambda kv: -len(kv[1])):
                 start = alloc_group(group, lev)
+                cpad = _pad_to(len(group), align)
                 ones_slot = slot_of[ones_rec]
-                idx = np.full((n_op, arity, len(group)), ones_slot, np.int32)
-                fac = np.zeros((arity, len(group)), dtype)
+                idx = np.full((n_op, arity, cpad), ones_slot, np.int32)
+                fac = np.zeros((arity, cpad), dtype)
                 for k, i in enumerate(group):
                     for a, (ops, coeff) in enumerate(node_terms[i]):
                         fac[a, k] = coeff
@@ -625,7 +658,7 @@ def lower(roots: Sequence[Graph], leafmap: Optional[Dict[int, int]] = None,
                             idx[m, a, k] = slot_of[c]
                         num_edges += len(ops)
                 fused_buckets.append(
-                    FusedBucket(arity, n_op, start, len(group), idx, fac))
+                    FusedBucket(arity, n_op, start, cpad, idx, fac))
             sums = []
 
         sum_plan = None
@@ -699,15 +732,21 @@ def lower(roots: Sequence[Graph], leafmap: Optional[Dict[int, int]] = None,
             group = pows_by_n[n]
             if sum_mode == "fused":
                 start = alloc_group(group, lev)
+                cpad = _pad_to(len(group), align)
+                pad_src = slot_of[ones_rec]  # integer_pow(1) * 0 == 0
             else:
                 start = next_slot
                 for k, i in enumerate(group):
                     slot_of[i] = start + k
                 next_slot += len(group)
-            src = np.asarray([slot_of[recs[i].children[0]] for i in group], np.int32)
-            fac = np.asarray([recs[i].factors[0] for i in group], dtype)
+                cpad = len(group)
+                pad_src = 0
+            src = np.full(cpad, pad_src, np.int32)
+            fac = np.zeros(cpad, dtype)
+            src[:len(group)] = [slot_of[recs[i].children[0]] for i in group]
+            fac[:len(group)] = [recs[i].factors[0] for i in group]
             num_edges += len(group)
-            pow_plans.append(PowerPlan(n, start, len(group), src, fac))
+            pow_plans.append(PowerPlan(n, start, cpad, src, fac))
 
         levels.append(LevelPlan(sum_plan, prod_plans, pow_plans, sum_buckets,
                                 fused_buckets))

@@ -2,24 +2,41 @@
 
 For DAGs too large to evaluate per chip at full batch (BASELINE config 5),
 the slot space itself is partitioned: device d owns the leaf-block shard
-plus an equal contiguous chunk of every bucket's output slots, so the
-per-device weight buffer is ~``num_slots / n`` rows — NOT a replica of the
-full buffer.  Per topological level:
+plus an equal chunk of every bucket's output rows, so the per-device weight
+buffer is ~``live_slots / n`` rows — NOT a replica of the full buffer.
+Per topological level:
 
 1. every device gathers, from its *local* buffer, the rows it owns among
    the union of slots read at this level (its send block, padded to the
    per-level maximum H_l);
-2. one ``all_gather`` over the ``graph`` ICI axis assembles the level's
-   halo buffer ``[n*H_l, batch]`` — exactly the level's boundary
-   activations, nothing else;
+2. ``all_gather`` over the ``graph`` ICI axis assembles the level's halo
+   buffer ``[n*H_l, batch]`` — exactly the level's boundary activations.
+   The exchange is split in two: rows produced at the *immediately
+   preceding* level ride a "late" gather that the level must wait for,
+   while rows produced earlier ride an "early" gather emitted BEFORE the
+   previous level's compute, so XLA's async collective scheduler can
+   overlap it with that compute (SURVEY §7.3-7);
 3. each device computes its chunk of every bucket reading only from the
    halo (operand indices are remapped host-side to halo positions) and
-   writes the chunk at a static offset of its local buffer.
+   writes the chunk at its local offset.
+
+Per-device slot reuse (VERDICT r3 #3): ownership of global slots is
+single-assignment (the lowering must use ``reuse_slots=False``), but each
+device recycles its *local* rows with the same lifetime-based
+contiguous-interval allocator the single-chip lowering uses, once the last
+level reading a row has run.  Local layouts therefore differ per device;
+all per-device tables (send indices, output offsets) are stacked over the
+device axis and dynamic-indexed under ``shard_map``.  This reconciles the
+two memory mechanisms: per-device rows ~ live_slots/n.
+
+Ownership balancing: bucket rows can be assigned to devices contiguously
+(``ks // chunk``) or round-robin (``ks % n``); the planner computes both
+and keeps whichever produces less total halo padding (halo rows are padded
+to the worst-owner count per level).
 
 Root rows are assembled with one final exchange.  Composes with batch-axis
 data parallelism on a 2-D (graph x batch) mesh.  Works for
-``sum_mode='fused'`` (the production mode) and ``'bucketed'``; requires
-``reuse_slots=False`` so slot ownership is single-assignment.
+``sum_mode='fused'`` (the production mode) and ``'bucketed'``.
 
 No reference counterpart (the reference is single-process,
 /root/reference/src/computational_graph/eval.jl); this is the TPU-native
@@ -36,13 +53,9 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.lowering import (FusedBucket, LoweredGraph, PowerPlan, ProdPlan,
-                            SumBucket)
+                            SumBucket, TILE_ROWS, _pad_to)
 
 GRAPH_AXIS = "graph"
-
-
-def _pad_to(n: int, k: int) -> int:
-    return ((n + k - 1) // k) * k
 
 
 @dataclass
@@ -53,7 +66,7 @@ class _ShardedGroup:
     axis -2 is the device axis (each device dynamic-indexes its chunk).
     """
     kind: str                 # 'sum' | 'fused' | 'prod' | 'pow'
-    local_off: int            # output offset in every device's local buffer
+    local_off: np.ndarray     # [n] per-device output offset in local buffer
     chunk: int                # output rows per device
     idx: np.ndarray           # sum: [A, n, chunk]; fused: [K, A, n, chunk];
                               # prod: [A, n, chunk]; pow: [n, chunk]
@@ -63,9 +76,11 @@ class _ShardedGroup:
 
 @dataclass
 class _LevelSched:
-    send_idx: np.ndarray      # [n, H] local row indices each device sends
+    early_send: np.ndarray    # [n, He] local rows for the EARLY halo
+    late_send: np.ndarray     # [n, Hl] local rows for the LATE halo
     groups: List[_ShardedGroup]
-    halo_rows: int            # n * H (rows received per device)
+    early_rows: int           # n * He
+    late_rows: int            # n * Hl
     read_rows: int            # true union size (pre-padding)
 
 
@@ -73,142 +88,298 @@ class _LevelSched:
 class ShardStats:
     """Memory/communication footprint of a graph-sharded plan."""
     n_dev: int
-    full_slots: int           # slots of the unsharded buffer
-    local_slots: int          # per-device buffer rows (must be < full_slots)
-    halo_rows_per_level: List[int]
+    full_slots: int           # slots of the unsharded (reuse_slots=False) buffer
+    local_slots: int          # per-device buffer rows (max over devices)
+    halo_rows_per_level: List[int]     # early + late, per level (+ roots)
     read_rows_per_level: List[int]
+    early_rows_per_level: List[int] = field(default_factory=list)
+    interleaved: bool = False
 
     def halo_bytes_per_sample(self, itemsize: int = 4) -> int:
         """Bytes received per device per batch element over a full pass."""
         return sum(self.halo_rows_per_level) * itemsize
 
+    @property
+    def halo_pad_overhead(self) -> float:
+        """Exchanged rows / true boundary rows (1.0 = no padding waste)."""
+        return sum(self.halo_rows_per_level) / max(sum(self.read_rows_per_level), 1)
 
-def _plan(lowered: LoweredGraph, n_dev: int) -> Tuple[List[_LevelSched], ShardStats,
-                                                      np.ndarray, np.ndarray, int]:
-    """Host-side planner: ownership map, per-level halo schedules, root plan.
+    @property
+    def early_share(self) -> float:
+        """Fraction of halo rows on the EARLY (compute-overlapped) gather."""
+        tot = sum(self.halo_rows_per_level)
+        return sum(self.early_rows_per_level) / max(tot, 1)
 
-    Returns (levels, stats, root_send_idx[n, Hr], root_pos[R], leaf_chunk).
-    """
+
+class _LocalPool:
+    """Per-device contiguous-interval first-fit allocator (local rows)."""
+
+    def __init__(self, top: int):
+        self.top = top
+        self.intervals: List[List[int]] = []
+        self.pending: List[int] = []
+
+    def free(self, slots) -> None:
+        self.pending.extend(slots)
+
+    def _merge(self) -> None:
+        if not self.pending:
+            return
+        ivs = self.intervals + [[p, p + 1] for p in self.pending]
+        self.pending = []
+        ivs.sort()
+        merged: List[List[int]] = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                if e > merged[-1][1]:
+                    merged[-1][1] = e
+            else:
+                merged.append([s, e])
+        self.intervals = merged
+
+    def alloc(self, count: int, align: int = 1) -> int:
+        self._merge()
+        for k, (s, e) in enumerate(self.intervals):
+            s_al = _pad_to(s, align)
+            if e - s_al >= count:
+                if s_al > s:
+                    self.intervals[k] = [s, s_al]
+                    if e > s_al + count:
+                        self.intervals.insert(k + 1, [s_al + count, e])
+                elif e - s == count:
+                    del self.intervals[k]
+                else:
+                    self.intervals[k][0] = s + count
+                return s_al
+        s = _pad_to(self.top, align)
+        if s > self.top:
+            self.intervals.append([self.top, s])
+            self.intervals.sort()
+        self.top = s + count
+        return s
+
+
+def _collect_groups(lowered: LoweredGraph):
+    """[(level, kind, plan)] in evaluation order."""
     if any(lvl.sums is not None for lvl in lowered.levels):
         raise ValueError(
             "graph-sharded evaluation requires sum_mode='bucketed' or 'fused' "
             "(csr segment-sums scatter across the slot partition)")
-
-    num_slots = lowered.num_slots
-    nl = lowered.num_leaves
-    leaf_chunk = _pad_to(nl, n_dev) // n_dev
-
-    owner = np.full(num_slots, -1, np.int32)
-    local = np.full(num_slots, -1, np.int32)
-    s = np.arange(nl)
-    owner[s] = s // leaf_chunk
-    local[s] = s % leaf_chunk
-    local_top = leaf_chunk
-
-    # ownership + local layout for every bucket chunk (identical on all devices)
-    raw_levels: List[List[Tuple[str, object, int, int]]] = []
-    for lvl in lowered.levels:
-        groups = []
+    out = []
+    for li, lvl in enumerate(lowered.levels):
         plans = ([("sum", sb) for sb in lvl.sum_buckets]
                  + [("fused", fb) for fb in lvl.fused]
                  + [("prod", p) for p in lvl.prods]
                  + [("pow", pw) for pw in lvl.pows])
         for kind, plan in plans:
-            count, start = plan.count, plan.start
-            chunk = _pad_to(count, n_dev) // n_dev
-            ks = np.arange(count)
-            if (owner[start + ks] != -1).any():
-                raise ValueError(
-                    "slot ownership conflict: lower with reuse_slots=False "
-                    "for graph-sharded evaluation")
-            owner[start + ks] = ks // chunk
-            local[start + ks] = local_top + ks % chunk
-            groups.append((kind, plan, chunk, local_top))
-            local_top += chunk
-        raw_levels.append(groups)
+            out.append((li, kind, plan))
+    return out
 
+
+def _reads_of(kind: str, plan) -> np.ndarray:
+    if kind in ("sum", "fused", "prod"):
+        return np.asarray(plan.idx).ravel()
+    return np.asarray(plan.src).ravel()
+
+
+def _plan(lowered: LoweredGraph, n_dev: int, *, interleave: bool = False,
+          local_reuse: bool = True) -> Tuple[List[_LevelSched], ShardStats,
+                                             np.ndarray, np.ndarray, int]:
+    """Host-side planner: ownership map, per-device local layouts (with
+    lifetime-based reuse), per-level split halo schedules, root plan.
+
+    Returns (levels, stats, root_send_idx[n, Hr], root_pos[R], leaf_chunk).
+    """
+    num_slots = lowered.num_slots
+    nl = lowered.num_leaves
+    n_levels = len(lowered.levels)
+    leaf_chunk = _pad_to(nl, n_dev) // n_dev
+
+    groups = _collect_groups(lowered)
+
+    # ---- ownership (global slot -> device, chunk position)
+    owner = np.full(num_slots, -1, np.int32)
+    chunk_pos = np.full(num_slots, -1, np.int32)   # position within the chunk
+    write_level = np.full(num_slots, -1, np.int32)  # level producing the slot
+    s = np.arange(nl)
+    owner[s] = s // leaf_chunk                      # leaves: contiguous (input
+    chunk_pos[s] = s % leaf_chunk                   # sharding is contiguous)
+    write_level[s] = -1
+
+    meta = []  # per group: (level, kind, plan, chunk)
+    for li, kind, plan in groups:
+        count, start = plan.count, plan.start
+        chunk = _pad_to(count, n_dev) // n_dev
+        ks = np.arange(count)
+        if (owner[start + ks] != -1).any():
+            raise ValueError(
+                "slot ownership conflict: lower with reuse_slots=False "
+                "for graph-sharded evaluation")
+        if interleave:
+            owner[start + ks] = ks % n_dev
+            chunk_pos[start + ks] = ks // n_dev
+        else:
+            owner[start + ks] = ks // chunk
+            chunk_pos[start + ks] = ks % chunk
+        write_level[start + ks] = li
+        meta.append((li, kind, plan, chunk))
+
+    # ---- lifetimes: last level (or root epoch) reading each global slot
+    ROOT_EPOCH = n_levels
+    last_read = np.full(num_slots, -1, np.int32)
+    for li, kind, plan in groups:
+        rd = np.unique(_reads_of(kind, plan))
+        last_read[rd] = np.maximum(last_read[rd], li)
+    roots = np.asarray(lowered.root_slots)
+    last_read[roots] = ROOT_EPOCH
+
+    # ---- per-device local layout with lifetime reuse
+    local = np.full((n_dev, num_slots), -1, np.int32)
+    local_offs: Dict[int, np.ndarray] = {}
+    for d in range(n_dev):
+        mine = s[owner[s] == d]
+        local[d, mine] = chunk_pos[mine]            # leaf rows pinned at 0..
+    if local_reuse:
+        pools = [_LocalPool(leaf_chunk) for _ in range(n_dev)]
+        # free queue: level -> per-device list of local rows
+        free_at: List[List[List[int]]] = [
+            [[] for _ in range(n_dev)] for _ in range(n_levels + 1)]
+        cur_level = 0
+        for gi, (li, kind, plan, chunk) in enumerate(meta):
+            while cur_level < li:
+                for d in range(n_dev):
+                    pools[d].free(free_at[cur_level][d])
+                cur_level += 1
+            count, start = plan.count, plan.start
+            gslots = start + np.arange(count)
+            offs = np.zeros(n_dev, np.int32)
+            for d in range(n_dev):
+                off = pools[d].alloc(chunk, TILE_ROWS)
+                offs[d] = off
+                mine = gslots[owner[gslots] == d]
+                local[d, mine] = off + chunk_pos[mine]
+                for g in mine:
+                    lr = last_read[g]
+                    if lr < ROOT_EPOCH:
+                        free_at[max(lr, li)][d].append(local[d, g])
+                # chunk-padding rows (no global slot) free immediately
+                used = set(chunk_pos[mine].tolist())
+                free_at[li][d].extend(off + p for p in range(chunk)
+                                      if p not in used)
+            local_offs[gi] = offs
+        local_top = max(p.top for p in pools) if pools else leaf_chunk
+    else:
+        local_top = leaf_chunk
+        for gi, (li, kind, plan, chunk) in enumerate(meta):
+            count, start = plan.count, plan.start
+            gslots = start + np.arange(count)
+            for d in range(n_dev):
+                mine = gslots[owner[gslots] == d]
+                local[d, mine] = local_top + chunk_pos[mine]
+            local_offs[gi] = np.full(n_dev, local_top, np.int32)
+            local_top += chunk
+
+    # ---- halo schedules (early/late split)
     def halo_schedule(read_slots: np.ndarray) -> Tuple[np.ndarray, np.ndarray, int]:
-        """Build (send_idx[n, H], pos[num_slots], n*H) for a set of read
-        global slots: pos[s] = position of row s in the gathered halo."""
-        read_slots = np.unique(read_slots)
+        """(send_idx[n, H], pos[num_slots], n*H) for a set of read global
+        slots: pos[s] = position of row s in the gathered halo."""
         own = owner[read_slots]
         counts = np.bincount(own, minlength=n_dev)
-        H = max(int(counts.max()), 1)
+        H = max(int(counts.max()), 1) if len(read_slots) else 1
         send_idx = np.zeros((n_dev, H), np.int32)
         pos = np.full(num_slots, 0, np.int32)
         for d in range(n_dev):
             mine = read_slots[own == d]
-            send_idx[d, :len(mine)] = local[mine]
+            send_idx[d, :len(mine)] = local[d, mine]
             pos[mine] = d * H + np.arange(len(mine))
         return send_idx, pos, n_dev * H
 
     levels: List[_LevelSched] = []
     halo_rows_per_level: List[int] = []
+    early_rows_per_level: List[int] = []
     read_rows_per_level: List[int] = []
-    for groups in raw_levels:
-        reads = []
-        for kind, plan, _, _ in groups:
-            if kind in ("sum", "fused", "prod"):
-                reads.append(np.asarray(plan.idx).ravel())
-            else:
-                reads.append(np.asarray(plan.src).ravel())
+    by_level: List[List[Tuple[int, str, object, int]]] = [[] for _ in range(n_levels)]
+    for gi, (li, kind, plan, chunk) in enumerate(meta):
+        by_level[li].append((gi, kind, plan, chunk))
+
+    for li in range(n_levels):
+        lvl_groups = by_level[li]
+        reads = [_reads_of(kind, plan) for _, kind, plan, _ in lvl_groups]
         read_slots = (np.unique(np.concatenate(reads)) if reads
                       else np.zeros(0, np.int64))
-        send_idx, pos, halo_rows = halo_schedule(read_slots)
+        # EARLY: produced strictly before the previous level (or leaves) —
+        # exchangeable while level li-1 computes.  LATE: produced at li-1.
+        late_mask = write_level[read_slots] == li - 1
+        early_slots = read_slots[~late_mask]
+        late_slots = read_slots[late_mask]
+        early_send, early_pos, early_rows = halo_schedule(early_slots)
+        late_send, late_pos, late_rows = halo_schedule(late_slots)
+        # combined halo = [early | late]: late positions shift by early_rows
+        pos = early_pos.copy()
+        pos[late_slots] = late_pos[late_slots] + early_rows
+
         sched_groups: List[_ShardedGroup] = []
-        for kind, plan, chunk, local_off in groups:
+        for gi, kind, plan, chunk in lvl_groups:
             count_p = chunk * n_dev
 
             def pad_cols(a: np.ndarray, fill=0) -> np.ndarray:
                 """Pad the trailing (node) axis to count_p, then split it
-                into [n_dev, chunk]."""
+                into [n_dev, chunk] (device-major or interleaved to match
+                the ownership layout)."""
                 out = np.full(a.shape[:-1] + (count_p,), fill, a.dtype)
                 out[..., :a.shape[-1]] = a
+                if interleave:
+                    return out.reshape(
+                        a.shape[:-1] + (chunk, n_dev)).swapaxes(-1, -2)
                 return out.reshape(a.shape[:-1] + (n_dev, chunk))
 
+            offs = local_offs[gi]
             if kind == "sum":
-                idx = pad_cols(pos[plan.idx])          # [A, n, chunk]
-                fac = pad_cols(plan.fac, 0)            # [A, n, chunk]
-                sched_groups.append(_ShardedGroup("sum", local_off, chunk, idx, fac))
+                sched_groups.append(_ShardedGroup(
+                    "sum", offs, chunk, pad_cols(pos[plan.idx]),
+                    pad_cols(plan.fac, 0)))
             elif kind == "fused":
-                idx = pad_cols(pos[plan.idx])          # [K, A, n, chunk]
-                fac = pad_cols(plan.fac, 0)            # [A, n, chunk]
-                sched_groups.append(_ShardedGroup("fused", local_off, chunk, idx, fac))
+                sched_groups.append(_ShardedGroup(
+                    "fused", offs, chunk, pad_cols(pos[plan.idx]),
+                    pad_cols(plan.fac, 0)))
             elif kind == "prod":
-                idx = pad_cols(pos[plan.idx])          # [A, n, chunk]
-                fac = pad_cols(plan.factor, 0)         # [n, chunk]
-                sched_groups.append(_ShardedGroup("prod", local_off, chunk, idx, fac))
+                sched_groups.append(_ShardedGroup(
+                    "prod", offs, chunk, pad_cols(pos[plan.idx]),
+                    pad_cols(plan.factor, 0)))
             else:
-                idx = pad_cols(pos[plan.src])          # [n, chunk]
-                fac = pad_cols(plan.factor, 0)         # [n, chunk]
-                sched_groups.append(_ShardedGroup("pow", local_off, chunk, idx, fac,
-                                                  pow_n=plan.n))
-        levels.append(_LevelSched(send_idx, sched_groups, halo_rows,
-                                  len(read_slots)))
-        halo_rows_per_level.append(halo_rows)
+                sched_groups.append(_ShardedGroup(
+                    "pow", offs, chunk, pad_cols(pos[plan.src]),
+                    pad_cols(plan.factor, 0), pow_n=plan.n))
+        levels.append(_LevelSched(early_send, late_send, sched_groups,
+                                  early_rows, late_rows, len(read_slots)))
+        halo_rows_per_level.append(early_rows + late_rows)
+        early_rows_per_level.append(early_rows)
         read_rows_per_level.append(len(read_slots))
 
-    root_send_idx, root_pos_map, root_halo = halo_schedule(
-        np.asarray(lowered.root_slots))
-    root_pos = root_pos_map[np.asarray(lowered.root_slots)]
+    root_send_idx, root_pos_map, root_halo = halo_schedule(roots)
+    root_pos = root_pos_map[roots]
     halo_rows_per_level.append(root_halo)
-    read_rows_per_level.append(len(np.unique(lowered.root_slots)))
+    early_rows_per_level.append(0)
+    read_rows_per_level.append(len(np.unique(roots)))
 
     stats = ShardStats(n_dev, num_slots, local_top, halo_rows_per_level,
-                       read_rows_per_level)
+                       read_rows_per_level, early_rows_per_level, interleave)
     return levels, stats, root_send_idx, root_pos, leaf_chunk
 
 
 def make_graph_sharded_evaluator(lowered: LoweredGraph, mesh: Mesh, *,
                                  graph_axis: str = GRAPH_AXIS,
                                  batch_axis: Optional[str] = None,
-                                 dtype=None):
+                                 dtype=None, local_reuse: bool = True,
+                                 interleave: Optional[bool] = None):
     """Build ``f(leaf_values[num_leaves, batch]) -> roots[R, batch]`` with a
     slot-partitioned weight buffer: per-device memory is
-    ``stats.local_slots`` rows (~``num_slots / n``) plus one transient
-    per-level halo buffer.  The returned function carries the planner's
-    footprint as ``.stats`` (per-level halo rows = the exchanged boundary
-    activations).
+    ``stats.local_slots`` rows (~``live_slots / n`` with the default
+    per-device reuse) plus transient per-level halo buffers.  The returned
+    function carries the planner's footprint as ``.stats``.
+
+    ``interleave=None`` plans both ownership layouts and keeps the one with
+    less total halo traffic.
     """
     try:
         from jax import shard_map
@@ -220,17 +391,24 @@ def make_graph_sharded_evaluator(lowered: LoweredGraph, mesh: Mesh, *,
         dtype = default_device_dtype()
 
     n_dev = mesh.shape[graph_axis]
-    levels, stats, root_send_idx, root_pos, leaf_chunk = _plan(lowered, n_dev)
+    if interleave is None:
+        plans = [_plan(lowered, n_dev, interleave=i, local_reuse=local_reuse)
+                 for i in (False, True)]
+        plans.sort(key=lambda p: sum(p[1].halo_rows_per_level))
+        levels, stats, root_send_idx, root_pos, leaf_chunk = plans[0]
+    else:
+        levels, stats, root_send_idx, root_pos, leaf_chunk = _plan(
+            lowered, n_dev, interleave=interleave, local_reuse=local_reuse)
 
     nl_total = lowered.num_leaves
     n_const = len(lowered.const_slots)
-    nl_input = nl_total - n_const
     const_values = np.asarray(lowered.const_values)
     root_pos_j = jnp.asarray(root_pos)
 
     # device-constant tables (stacked over the device axis; each device
     # dynamic-indexes its own slice under shard_map)
-    send_tabs = [jnp.asarray(lv.send_idx) for lv in levels]
+    early_tabs = [jnp.asarray(lv.early_send) for lv in levels]
+    late_tabs = [jnp.asarray(lv.late_send) for lv in levels]
     root_send_tab = jnp.asarray(root_send_idx)
 
     def device_fn(leaf_block):
@@ -241,32 +419,45 @@ def make_graph_sharded_evaluator(lowered: LoweredGraph, mesh: Mesh, *,
         w = jax.lax.dynamic_update_slice_in_dim(
             w, leaf_block.astype(dtype), 0, axis=0)
 
+        def gather_halo(tab):
+            send = jax.lax.dynamic_index_in_dim(tab, d, axis=0, keepdims=False)
+            return jax.lax.all_gather(w[send], graph_axis, axis=0, tiled=True)
+
+        # EARLY halo of level l is emitted before level l-1's compute, so
+        # the collective overlaps that level's work (async scheduling).
+        early_halo = gather_halo(early_tabs[0]) if levels else None
         for lev_i, lv in enumerate(levels):
-            send_idx = jax.lax.dynamic_index_in_dim(
-                send_tabs[lev_i], d, axis=0, keepdims=False)      # [H]
-            halo = jax.lax.all_gather(w[send_idx], graph_axis,
-                                      axis=0, tiled=True)         # [n*H, batch]
-            for g in lv.groups:
-                idx = jax.lax.dynamic_index_in_dim(
-                    jnp.asarray(g.idx), d, axis=-2, keepdims=False)
-                fac = jax.lax.dynamic_index_in_dim(
-                    jnp.asarray(g.fac, dtype), d, axis=-2, keepdims=False)
-                if g.kind == "sum":
-                    blk = jnp.sum(halo[idx] * fac[:, :, None], axis=0)
-                elif g.kind == "fused":
-                    blk = halo[idx[0]] * fac[:, :, None]
-                    for k in range(1, idx.shape[0]):
-                        blk = blk * halo[idx[k]]
-                    blk = jnp.sum(blk, axis=0)
-                elif g.kind == "prod":
-                    blk = halo[idx[0]]
-                    for a in range(1, idx.shape[0]):
-                        blk = blk * halo[idx[a]]
-                    blk = blk * fac[:, None]
-                else:
-                    blk = jax.lax.integer_pow(halo[idx], g.pow_n) * fac[:, None]
-                w = jax.lax.dynamic_update_slice_in_dim(
-                    w, blk.astype(dtype), g.local_off, axis=0)
+            with jax.named_scope(f"sL{lev_i:02d}"):
+                late_halo = gather_halo(late_tabs[lev_i])
+                next_early = (gather_halo(early_tabs[lev_i + 1])
+                              if lev_i + 1 < len(levels) else None)
+                halo = jnp.concatenate([early_halo, late_halo], axis=0)
+                w_new = w
+                for g in lv.groups:
+                    idx = jax.lax.dynamic_index_in_dim(
+                        jnp.asarray(g.idx), d, axis=-2, keepdims=False)
+                    fac = jax.lax.dynamic_index_in_dim(
+                        jnp.asarray(g.fac, dtype), d, axis=-2, keepdims=False)
+                    if g.kind == "sum":
+                        blk = jnp.sum(halo[idx] * fac[:, :, None], axis=0)
+                    elif g.kind == "fused":
+                        blk = halo[idx[0]] * fac[:, :, None]
+                        for k in range(1, idx.shape[0]):
+                            blk = blk * halo[idx[k]]
+                        blk = jnp.sum(blk, axis=0)
+                    elif g.kind == "prod":
+                        blk = halo[idx[0]]
+                        for a in range(1, idx.shape[0]):
+                            blk = blk * halo[idx[a]]
+                        blk = blk * fac[:, None]
+                    else:
+                        blk = jax.lax.integer_pow(halo[idx], g.pow_n) * fac[:, None]
+                    off = jax.lax.dynamic_index_in_dim(
+                        jnp.asarray(g.local_off), d, axis=0, keepdims=False)
+                    w_new = jax.lax.dynamic_update_slice_in_dim(
+                        w_new, blk.astype(dtype), off, axis=0)
+                w = w_new
+                early_halo = next_early
 
         root_send = jax.lax.dynamic_index_in_dim(
             root_send_tab, d, axis=0, keepdims=False)

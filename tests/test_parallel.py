@@ -147,6 +147,52 @@ class TestGraphSharding:
         assert len(sharded.stats.halo_rows_per_level) == lowered.num_levels + 1
         assert sharded.stats.halo_bytes_per_sample() > 0
 
+    def test_local_reuse_and_ownership_options(self):
+        """Per-device slot reuse (VERDICT r3 #3) and ownership balancing:
+        every (local_reuse, interleave) combination must equal single-chip,
+        reuse must shrink the per-device buffer toward live_slots/n, and
+        the auto-pick must choose the lower-traffic ownership."""
+        from feynmandiagram_tpu.ops import lower, make_evaluator
+        from feynmandiagram_tpu.parallel.graph_shard import make_graph_sharded_evaluator
+        from feynmandiagram_tpu.backends.compile import leafmap_of
+        from feynmandiagram_tpu.frontends import ChargeCharge, Instant, NoHartree
+        from feynmandiagram_tpu.frontends.parquet import (DiagPara, Interaction,
+                                                          Ver4Diag, vertex4)
+        from feynmandiagram_tpu.computational_graph import optimize_inplace
+        para = DiagPara(type=Ver4Diag, innerLoopNum=3, hasTau=True,
+                        filter=(NoHartree,),
+                        interaction=(Interaction(ChargeCharge, Instant),))
+        roots = [r["diagram"] for r in vertex4(para)]
+        optimize_inplace(roots, level=1)
+        lm = leafmap_of(roots)
+        low_full = lower(roots, lm, sum_mode="fused", cse=True,
+                         reuse_slots=False)
+        live = lower(roots, lm, sum_mode="fused", cse=True,
+                     reuse_slots=True).num_slots
+        nl = low_full.num_leaves - len(low_full.const_slots)
+        vals = np.random.default_rng(2).uniform(0.5, 1.5, (nl, 8))
+        single = np.asarray(make_evaluator(low_full)(vals))
+        mesh = make_sample_mesh(8, axis_name="graph")
+        stats = {}
+        for reuse in (False, True):
+            for il in (False, True, None):
+                g = make_graph_sharded_evaluator(low_full, mesh,
+                                                 local_reuse=reuse,
+                                                 interleave=il)
+                np.testing.assert_allclose(np.asarray(g(vals)), single,
+                                           rtol=1e-8, atol=1e-10)
+                stats[(reuse, il)] = g.stats
+        # reuse shrinks the device buffer toward live/n (tile padding keeps
+        # it above the ideal live/8 = {live//8} on this small graph)
+        assert stats[(True, None)].local_slots < live / 4
+        assert stats[(True, None)].local_slots < stats[(False, None)].local_slots
+        # auto-pick <= both fixed layouts, and part of the halo is early
+        # (exchangeable while the previous level computes)
+        auto = sum(stats[(True, None)].halo_rows_per_level)
+        assert auto <= min(sum(stats[(True, False)].halo_rows_per_level),
+                           sum(stats[(True, True)].halo_rows_per_level))
+        assert 0.1 < stats[(True, None)].early_share < 0.9
+
     def test_graph_sharded_reuse_slots_rejected(self):
         """Slot recycling breaks single-assignment ownership: must raise."""
         import pytest

@@ -290,9 +290,14 @@ class TestSigmaGVCrossCheck:
 
 class TestEpCouplingValues:
     def test_leaf1_pinned_counts(self):
-        """Electron-phonon vertex leaf==1 sums, pinned as combinatorial
-        regression anchors (the reference ships no ep_coupling value tests;
-        these values were cross-checked stable across rounds)."""
+        """Electron-phonon vertex leaf==1 sums.
+
+        Order 1 = -8 is DERIVED in closed form (docs/oracles.md
+        "Electron-phonon vertex order-1 value"): the bare-vertex spin sums
+        (sum_L_uu = 0, sum_L_ud = -2; right Di-only sums = -2) composed
+        through the PHr recoupling give 8, times SymFactor[PHr] = -1.
+        Order 2 = 64 = (-8)^2 remains a pinned regression anchor (the
+        reference ships no ep_coupling value tests at all)."""
         import warnings
         from feynmandiagram_tpu.frontends.parquet import ep_coupling
         from feynmandiagram_tpu.frontends import Dynamic
