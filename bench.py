@@ -33,11 +33,6 @@ def main():
 
     on_tpu = jax.devices()[0].platform != "cpu"
     dtype = jnp.float32 if on_tpu else jnp.float64
-    # optional bf16-storage scan mode (PARITY.md): FDTPU_BENCH_GRAPH_DTYPE=bf16
-    graph_dtype = (jnp.bfloat16
-                   if os.environ.get("FDTPU_BENCH_GRAPH_DTYPE") == "bf16"
-                   else None)
-    acc_dtype = jnp.float32 if graph_dtype is not None else None
 
     order = int(os.environ.get("FDTPU_BENCH_ORDER", 4))
     para = DiagPara(type=Ver4Diag, innerLoopNum=order, hasTau=True,
@@ -50,14 +45,16 @@ def main():
     merge_threshold = int(os.environ.get("FDTPU_BENCH_MERGE", 0))
     compiled = compile_evaluator(roots, max_loop_num=para.totalLoopNum,
                                  beta=0.5, kF=1.919, lam=1.0, dtype=dtype,
-                                 sum_mode=sum_mode, merge_threshold=merge_threshold,
-                                 graph_dtype=graph_dtype, acc_dtype=acc_dtype)
+                                 sum_mode=sum_mode, merge_threshold=merge_threshold)
 
     # batch 2048 = 16 sublane-tiles x 128 lanes: the tile-row layout
     # ([num_slots, 16, 128] weight buffer, 65 MB at order 4 — VMEM-resident)
     # is the measured sweet spot on v5e (PARITY.md batch scan + tile-layout
-    # profile); tile layout needs batch % 1024 == 0
-    batch = int(os.environ.get("FDTPU_BENCH_BATCH", 2048))
+    # profile); tile layout needs batch % 1024 == 0.  The VMEM sizing rule
+    # is recommended_batch — log its suggestion next to the chosen batch.
+    from feynmandiagram_tpu.ops.evaluator import recommended_batch
+    rec = recommended_batch(compiled.lowered)
+    batch = int(os.environ.get("FDTPU_BENCH_BATCH", rec if rec >= 1024 else 512))
     rng = np.random.default_rng(0)
     varK = jax.device_put(rng.standard_normal((3, para.totalLoopNum, batch)).astype(np.float32))
     varT = jax.device_put((rng.random((para.totalLoopNum, batch)) * 0.5).astype(np.float32))
@@ -125,6 +122,7 @@ def main():
             "sum_mode": sum_mode,
             "fused": fused,
             "merge_threshold": merge_threshold,
+            "recommended_batch": rec,
             "platform": jax.devices()[0].platform,
         },
     }

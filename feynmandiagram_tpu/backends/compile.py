@@ -60,7 +60,7 @@ def compile_evaluator(roots: Sequence[Graph], *, max_loop_num: int,
                       beta: float, kF: float, lam: float, dtype=None,
                       interaction_convention: str = "lambda_power",
                       jit: bool = True, sum_mode: str = "fused",
-                      merge_threshold: int = 0, graph_dtype=None,
+                      merge_threshold: int = 0,
                       acc_dtype=None, cse: bool = True,
                       compensated: bool = False,
                       layout: str = "auto") -> CompiledEvaluator:
@@ -72,10 +72,13 @@ def compile_evaluator(roots: Sequence[Graph], *, max_loop_num: int,
     - ``dtype``: device dtype (default: f64 under x64, f32 on TPU)
     - ``sum_mode``: lowering strategy (see ``ops.lowering.lower``); the
       default ``'fused'`` (with slot reuse) is the fastest validated mode
-    - ``graph_dtype``/``acc_dtype``: storage/accumulation dtypes of the graph
-      phase (default: ``dtype``).  ``graph_dtype=bfloat16, acc_dtype=float32``
-      halves the HBM traffic of the gather-bound graph phase while the leaf
-      physics and all accumulation stay f32.
+    - ``acc_dtype``: widened accumulation dtype of the graph phase
+      (default: ``dtype``).  The bf16-storage mode that lived here through
+      round 3 was removed in round 4: its only demonstrated benefit
+      (VMEM-extending the batch) is superseded by the tile-row layout and
+      graph sharding, it never beat the best f32 configuration at any
+      measured production shape, and its ~1% storage error is unusable for
+      final estimates (PARITY.md).
     """
     if dtype is None:
         from ..ops.dtypes import default_device_dtype
@@ -87,8 +90,8 @@ def compile_evaluator(roots: Sequence[Graph], *, max_loop_num: int,
     leaf_fn = make_leaf_evaluator(tables, beta=beta, kF=kF, lam=lam, dtype=dtype,
                                   interaction_convention=interaction_convention,
                                   layout=(layout if sum_mode == "fused"
-                                          and graph_dtype is None else "flat"))
-    graph_fn = make_evaluator(lowered, dtype=graph_dtype or dtype, jit=False,
+                                          else "flat"))
+    graph_fn = make_evaluator(lowered, dtype=dtype, jit=False,
                               acc_dtype=acc_dtype, compensated=compensated,
                               layout=layout)
 

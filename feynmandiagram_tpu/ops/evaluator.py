@@ -181,20 +181,23 @@ def _eval_levels_tile(lowered: LoweredGraph, w: jnp.ndarray,
 
 
 def recommended_batch(lowered: LoweredGraph, *, dtype_bytes: int = 4,
-                      vmem_budget: int = 64 << 20, lane: int = 128,
+                      vmem_budget: int = 80 << 20, lane: int = 128,
                       max_batch: int = 4096) -> int:
-    """Starting-point MC batch size for one chip: the largest lane-multiple
-    keeping the weight buffer ``num_slots * batch * dtype_bytes`` inside a
-    conservative VMEM budget.
+    """Starting-point MC batch size for one chip: the largest batch keeping
+    the weight buffer ``num_slots * batch * dtype_bytes`` inside a
+    conservative VMEM budget, preferring tile-layout batches (multiples of
+    1024, so the [num_slots, batch//128, 128] tile-row buffer applies —
+    2-3x faster row gathers, see ``_eval_levels_tile``), falling back to a
+    lane multiple when VMEM only admits a sub-1024 batch.
 
-    Measured on v5e (PARITY.md batch scan): gathers against a VMEM-resident
-    buffer run ~60x faster than HBM-resident (11.1 TB/s vs 181 GB/s), so
-    throughput cliffs when the buffer outgrows VMEM (128 MB on v5e; the
-    default budget leaves room for bucket index tables and leaf buffers).
-    The optimum shifts with graph shape — sweep +-2x around this value on
-    the target chip.
+    Measured on v5e (PARITY.md batch scan): throughput cliffs when the
+    buffer outgrows VMEM (128 MB on v5e; the budget leaves room for bucket
+    tables and leaf buffers).  The optimum shifts with graph shape — sweep
+    +-2x around this value on the target chip.
     """
     b = vmem_budget // (dtype_bytes * max(lowered.num_slots, 1))
+    if b >= 1024:
+        return min(int(b // 1024) * 1024, max_batch)
     b = max(lane, int(b // lane) * lane)
     return min(b, max_batch)
 
@@ -208,9 +211,12 @@ def make_evaluator(lowered: LoweredGraph, *, dtype=None, jit: bool = True,
     slots are appended internally.  With ``return_all`` the full weight
     buffer is returned (used by lowering-equivalence tests).
 
-    ``dtype=jnp.bfloat16, acc_dtype=jnp.float32`` selects the bf16-storage
-    mode: the weight buffer (the HBM bandwidth bottleneck) is half-width,
-    arithmetic accumulates in f32, outputs are returned in ``acc_dtype``.
+    ``dtype``/``acc_dtype`` are generic: e.g. ``dtype=jnp.bfloat16,
+    acc_dtype=jnp.float32`` gives a half-width weight buffer with f32
+    accumulation.  This is a low-level capability only (~1% storage error,
+    flat layout): the round-3 bf16 production knob was removed in round 4 —
+    it never beat the best f32 configuration at any measured production
+    shape (PARITY.md).
 
     ``layout``: 'flat' keeps the weight buffer [num_slots, batch];
     'tile' reshapes it to [num_slots, batch//128, 128] so every graph row

@@ -456,19 +456,25 @@ class TestCompensatedSummation:
 class TestRecommendedBatch:
     def test_vmem_rule(self):
         """recommended_batch implements the measured VMEM-residency rule
-        (PARITY.md batch scan): largest lane multiple with
-        num_slots * batch * 4 B <= budget, clamped to [128, 4096]."""
+        (PARITY.md batch scan): largest tile-layout batch (multiple of
+        1024) with num_slots * batch * 4 B <= budget, falling back to a
+        lane multiple, clamped to [128, 4096]."""
         from feynmandiagram_tpu.ops.evaluator import recommended_batch
 
         class _L:
             def __init__(self, n):
                 self.num_slots = n
 
-        # order-4 scale: 8,309 live slots, 64 MB budget -> 1920 lanes
-        b = recommended_batch(_L(8309))
-        assert b % 128 == 0
-        assert 8309 * b * 4 <= 64 << 20
-        assert 8309 * (b + 128) * 4 > 64 << 20
+        # order-4 scale (7,928 live slots, 80 MB budget) -> tile batch 2048,
+        # the measured optimum
+        b = recommended_batch(_L(7928))
+        assert b == 2048
+        assert 7928 * b * 4 <= 80 << 20
+        assert 7928 * (b + 1024) * 4 > 80 << 20
+        # order-5 scale: VMEM only admits a sub-1024 (flat-layout) batch
+        b5 = recommended_batch(_L(52232))
+        assert b5 % 128 == 0 and b5 < 1024
+        assert 52232 * b5 * 4 <= 80 << 20
         # tiny graphs clamp to max_batch, huge ones to one lane tile
         assert recommended_batch(_L(10)) == 4096
         assert recommended_batch(_L(10_000_000)) == 128
