@@ -92,13 +92,18 @@ def _eval_levels(lowered: LoweredGraph, w: jnp.ndarray,
             # [n_op*arity*count]-row gather per level amortizes gather
             # startup but its ~30 MB result spills to HBM (0.60x), and a
             # single [n_op, arity, count]-index gather per bucket adds
-            # layout-fix copies (0.79x).
+            # layout-fix copies (0.79x).  Very large buckets split into
+            # column chunks so gather results stay VMEM-resident.
             with jax.named_scope(f"fb{fb.arity}x{fb.n_op}"):
-                block = _take(w, fb.idx[0]).astype(a) * fb.fac[:, :, None].astype(a)
-                for k in range(1, fb.n_op):
-                    block = block * _take(w, fb.idx[k]).astype(a)
-                block = reduce0(block)
-                w = jax.lax.dynamic_update_slice_in_dim(w, block.astype(w.dtype), fb.start, axis=0)
+                for c0 in range(0, fb.count, 512):
+                    idx = fb.idx[..., c0:c0 + 512]
+                    fac = fb.fac[..., c0:c0 + 512]
+                    block = _take(w, idx[0]).astype(a) * fac[:, :, None].astype(a)
+                    for k in range(1, fb.n_op):
+                        block = block * _take(w, idx[k]).astype(a)
+                    block = reduce0(block)
+                    w = jax.lax.dynamic_update_slice_in_dim(
+                        w, block.astype(w.dtype), fb.start + c0, axis=0)
         for p in level.prods:
             with jax.named_scope(f"prod{p.arity}"):
                 block = _take(w, p.idx[0]).astype(a)
@@ -115,7 +120,8 @@ def _eval_levels(lowered: LoweredGraph, w: jnp.ndarray,
 
 def _eval_levels_tile(lowered: LoweredGraph, w: jnp.ndarray,
                       acc_dtype=None, compensated: bool = False,
-                      unroll_max: int = 8, split_count: int = 64) -> jnp.ndarray:
+                      unroll_max: int = 8, split_count: int = 64,
+                      chunk_rows: int = 512) -> jnp.ndarray:
     """Tile-row variant of ``_eval_levels``: ``w`` is [num_slots, nsub, 128].
 
     Each graph row is a whole number of (8, 128) tiles, so a row gather
@@ -142,35 +148,43 @@ def _eval_levels_tile(lowered: LoweredGraph, w: jnp.ndarray,
                 # per operand position ([arity, count] indices) and unroll
                 # the term sum as slice-adds (the fused 4-D multiply_reduce
                 # is ~4x slower than the same flops as unrolled adds).
-                if fb.count >= split_count and fb.arity <= unroll_max:
-                    def term(t):
-                        part = _take(w, fb.idx[0, t]).astype(a) \
-                            * fb.fac[t][:, None, None].astype(a)
-                        for k in range(1, fb.n_op):
-                            part = part * _take(w, fb.idx[k, t]).astype(a)
-                        return part
-                else:
-                    gs = [_take(w, fb.idx[k]).astype(a)
-                          for k in range(fb.n_op)]
-
-                    def term(t):
-                        part = gs[0][t] * fb.fac[t][:, None, None].astype(a)
-                        for k in range(1, fb.n_op):
-                            part = part * gs[k][t]
-                        return part
-                blk = term(0)
-                comp = jnp.zeros_like(blk) if compensated else None
-                for t in range(1, fb.arity):
-                    part = term(t)
-                    if compensated:
-                        y = part - comp
-                        tsum = blk + y
-                        comp = (tsum - blk) - y
-                        blk = tsum
+                # Very large buckets additionally split into <=chunk_rows
+                # column chunks so per-chunk gather results stay
+                # VMEM-resident (one order-4 G*W product bucket has 5,368
+                # rows — unchunked, its two 44 MB gather results at batch
+                # 2048 spill to HBM).
+                for c0 in range(0, fb.count, chunk_rows):
+                    idx = fb.idx[..., c0:c0 + chunk_rows]
+                    fac = fb.fac[..., c0:c0 + chunk_rows]
+                    if fb.count >= split_count and fb.arity <= unroll_max:
+                        def term(t):
+                            part = _take(w, idx[0, t]).astype(a) \
+                                * fac[t][:, None, None].astype(a)
+                            for k in range(1, fb.n_op):
+                                part = part * _take(w, idx[k, t]).astype(a)
+                            return part
                     else:
-                        blk = blk + part
-                w = jax.lax.dynamic_update_slice_in_dim(
-                    w, blk.astype(w.dtype), fb.start, axis=0)
+                        gs = [_take(w, idx[k]).astype(a)
+                              for k in range(fb.n_op)]
+
+                        def term(t):
+                            part = gs[0][t] * fac[t][:, None, None].astype(a)
+                            for k in range(1, fb.n_op):
+                                part = part * gs[k][t]
+                            return part
+                    blk = term(0)
+                    comp = jnp.zeros_like(blk) if compensated else None
+                    for t in range(1, fb.arity):
+                        part = term(t)
+                        if compensated:
+                            y = part - comp
+                            tsum = blk + y
+                            comp = (tsum - blk) - y
+                            blk = tsum
+                        else:
+                            blk = blk + part
+                    w = jax.lax.dynamic_update_slice_in_dim(
+                        w, blk.astype(w.dtype), fb.start + c0, axis=0)
         for pw in level.pows:
             with jax.named_scope(f"pow{pw.n}"):
                 blk = jax.lax.integer_pow(_take(w, pw.src).astype(a), pw.n) \
