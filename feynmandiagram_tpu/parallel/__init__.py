@@ -8,4 +8,5 @@ same mesh and is the next scaling stage.
 """
 from .sharding import (make_sample_mesh, shard_compiled, make_mc_step,
                        BATCH_AXIS)
-from .graph_shard import make_graph_sharded_evaluator, GRAPH_AXIS
+from .graph_shard import (make_graph_sharded_evaluator,
+                          make_graph_sharded_mc_step, GRAPH_AXIS)

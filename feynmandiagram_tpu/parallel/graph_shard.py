@@ -367,44 +367,32 @@ def _plan(lowered: LoweredGraph, n_dev: int, *, interleave: bool = False,
     return levels, stats, root_send_idx, root_pos, leaf_chunk
 
 
-def make_graph_sharded_evaluator(lowered: LoweredGraph, mesh: Mesh, *,
-                                 graph_axis: str = GRAPH_AXIS,
-                                 batch_axis: Optional[str] = None,
-                                 dtype=None, local_reuse: bool = True,
-                                 interleave: Optional[bool] = None):
-    """Build ``f(leaf_values[num_leaves, batch]) -> roots[R, batch]`` with a
-    slot-partitioned weight buffer: per-device memory is
-    ``stats.local_slots`` rows (~``live_slots / n`` with the default
-    per-device reuse) plus transient per-level halo buffers.  The returned
-    function carries the planner's footprint as ``.stats``.
-
-    ``interleave=None`` plans both ownership layouts and keeps the one with
-    less total halo traffic.
-    """
+def _shard_map_fn():
     try:
         from jax import shard_map
     except ImportError:
         from jax.experimental.shard_map import shard_map
+    return shard_map
 
-    if dtype is None:
-        from ..ops.dtypes import default_device_dtype
-        dtype = default_device_dtype()
 
-    n_dev = mesh.shape[graph_axis]
+def _resolve_plan(lowered: LoweredGraph, n_dev: int,
+                  interleave: Optional[bool], local_reuse: bool):
+    """Plan both ownership layouts when ``interleave`` is None and keep the
+    one with less total halo traffic."""
     if interleave is None:
         plans = [_plan(lowered, n_dev, interleave=i, local_reuse=local_reuse)
                  for i in (False, True)]
         plans.sort(key=lambda p: sum(p[1].halo_rows_per_level))
-        levels, stats, root_send_idx, root_pos, leaf_chunk = plans[0]
-    else:
-        levels, stats, root_send_idx, root_pos, leaf_chunk = _plan(
-            lowered, n_dev, interleave=interleave, local_reuse=local_reuse)
+        return plans[0]
+    return _plan(lowered, n_dev, interleave=interleave,
+                 local_reuse=local_reuse)
 
-    nl_total = lowered.num_leaves
-    n_const = len(lowered.const_slots)
-    const_values = np.asarray(lowered.const_values)
+
+def _make_device_eval(levels, stats, root_send_idx, root_pos, dtype,
+                      graph_axis: str):
+    """Per-device evaluation body shared by the sharded evaluator and the
+    sharded MC step: ``device_fn(leaf_block [leaf_chunk, b]) -> roots``."""
     root_pos_j = jnp.asarray(root_pos)
-
     # device-constant tables (stacked over the device axis; each device
     # dynamic-indexes its own slice under shard_map)
     early_tabs = [jnp.asarray(lv.early_send) for lv in levels]
@@ -465,17 +453,51 @@ def make_graph_sharded_evaluator(lowered: LoweredGraph, mesh: Mesh, *,
                                        axis=0, tiled=True)
         return root_halo[root_pos_j]                              # [R, batch]
 
-    in_spec = P(graph_axis, batch_axis)
-    out_spec = P(None, batch_axis)
+    return device_fn
 
-    sharded = None
+
+def _shard_map_compat(shard_map, device_fn, mesh, in_specs, out_specs):
     for kwargs in ({"check_vma": False}, {"check_rep": False}, {}):
         try:
-            sharded = shard_map(device_fn, mesh=mesh, in_specs=(in_spec,),
-                                out_specs=out_spec, **kwargs)
-            break
+            return shard_map(device_fn, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, **kwargs)
         except TypeError:
             continue
+    raise RuntimeError("shard_map signature not supported")
+
+
+def make_graph_sharded_evaluator(lowered: LoweredGraph, mesh: Mesh, *,
+                                 graph_axis: str = GRAPH_AXIS,
+                                 batch_axis: Optional[str] = None,
+                                 dtype=None, local_reuse: bool = True,
+                                 interleave: Optional[bool] = None):
+    """Build ``f(leaf_values[num_leaves, batch]) -> roots[R, batch]`` with a
+    slot-partitioned weight buffer: per-device memory is
+    ``stats.local_slots`` rows (~``live_slots / n`` with the default
+    per-device reuse) plus transient per-level halo buffers.  The returned
+    function carries the planner's footprint as ``.stats``.
+
+    ``interleave=None`` plans both ownership layouts and keeps the one with
+    less total halo traffic.
+    """
+    shard_map = _shard_map_fn()
+    if dtype is None:
+        from ..ops.dtypes import default_device_dtype
+        dtype = default_device_dtype()
+
+    n_dev = mesh.shape[graph_axis]
+    levels, stats, root_send_idx, root_pos, leaf_chunk = _resolve_plan(
+        lowered, n_dev, interleave, local_reuse)
+
+    nl_total = lowered.num_leaves
+    n_const = len(lowered.const_slots)
+    const_values = np.asarray(lowered.const_values)
+
+    device_fn = _make_device_eval(levels, stats, root_send_idx, root_pos,
+                                  dtype, graph_axis)
+    sharded = _shard_map_compat(shard_map, device_fn, mesh,
+                                (P(graph_axis, batch_axis),),
+                                P(None, batch_axis))
 
     leaf_rows_padded = leaf_chunk * n_dev
 
@@ -505,3 +527,93 @@ def make_graph_sharded_evaluator(lowered: LoweredGraph, mesh: Mesh, *,
             return self._fn(leaf_values)
 
     return _Sharded(jax.jit(evaluate), stats)
+
+
+def make_graph_sharded_mc_step(lowered: LoweredGraph, tables, mesh: Mesh, *,
+                               beta: float, kF: float, lam: float,
+                               graph_axis: str = GRAPH_AXIS,
+                               batch_axis: str = "batch",
+                               dtype=None, local_reuse: bool = True,
+                               interleave: Optional[bool] = None,
+                               interaction_convention: str = "lambda_power"):
+    """The BASELINE-config-5 production shape: one Monte-Carlo estimation
+    step with the graph memory-partitioned over ``graph_axis`` AND samples
+    data-parallel over ``batch_axis``, everything on device under one jit.
+
+    Per (graph-rank g, batch-rank b) device and loop iteration: draw the
+    batch shard's samples (PRNG folded by batch rank and iteration — the
+    same samples across graph ranks, as the slot partition requires),
+    evaluate the leaf physics, slice this device's leaf rows, run the
+    halo-exchanged leveled evaluation, and accumulate root sums; the final
+    estimator means reduce with one pmean over the batch axis.
+
+    Returns ``step(key, batch_per_device, iters) -> means[R]`` plus the
+    planner footprint as ``.stats``.  No reference counterpart (the
+    reference MC driver is a single-process scalar loop,
+    /root/reference/example/benchmark.jl:39-87).
+    """
+    from ..ops.leaf_eval import make_leaf_evaluator
+
+    shard_map = _shard_map_fn()
+    if dtype is None:
+        from ..ops.dtypes import default_device_dtype
+        dtype = default_device_dtype()
+
+    n_graph = mesh.shape[graph_axis]
+    levels, stats, root_send_idx, root_pos, leaf_chunk = _resolve_plan(
+        lowered, n_graph, interleave, local_reuse)
+    device_eval = _make_device_eval(levels, stats, root_send_idx, root_pos,
+                                    dtype, graph_axis)
+
+    nl_total = lowered.num_leaves
+    n_const = len(lowered.const_slots)
+    nl_input = nl_total - n_const
+    const_values = np.asarray(lowered.const_values)
+    leaf_rows_padded = leaf_chunk * n_graph
+    leaf_fn = make_leaf_evaluator(tables, beta=beta, kF=kF, lam=lam,
+                                  dtype=dtype, layout="flat",
+                                  interaction_convention=interaction_convention)
+    max_loop = tables.loop_basis.shape[1]
+    num_tau = int(max(tables.tau_in.max(), tables.tau_out.max()))
+    n_roots = len(lowered.root_slots)
+
+    def step(key, batch_per_device: int, iters: int):
+        def device_fn(key):
+            d = jax.lax.axis_index(graph_axis)
+            b = jax.lax.axis_index(batch_axis)
+
+            def body(i, acc):
+                k = jax.random.fold_in(jax.random.fold_in(key[0], b), i)
+                k1, k2 = jax.random.split(k)
+                vk = jax.random.normal(
+                    k1, (3, max_loop, batch_per_device), dtype)
+                vt = jax.random.uniform(
+                    k2, (num_tau, batch_per_device), dtype) * beta
+                lv = leaf_fn(vk, vt)                 # [nl_input, bpd]
+                blocks = [lv]
+                if n_const:
+                    blocks.append(jnp.broadcast_to(
+                        jnp.asarray(const_values, dtype)[:, None],
+                        (n_const, batch_per_device)))
+                pad = leaf_rows_padded - nl_total
+                if pad:
+                    blocks.append(jnp.zeros((pad, batch_per_device), dtype))
+                full = (jnp.concatenate(blocks, axis=0)
+                        if len(blocks) > 1 else blocks[0])
+                leaf_block = jax.lax.dynamic_slice_in_dim(
+                    full, d * leaf_chunk, leaf_chunk, axis=0)
+                roots = device_eval(leaf_block)      # [R, bpd]
+                return acc + jnp.sum(roots, axis=1)
+
+            tot = jax.lax.fori_loop(0, iters, body,
+                                    jnp.zeros((n_roots,), dtype))
+            mean = tot / (iters * batch_per_device)
+            return jax.lax.pmean(mean, batch_axis)
+
+        sharded = _shard_map_compat(shard_map, device_fn, mesh,
+                                    (P(None),), P())
+        keys = jnp.broadcast_to(key, (1,) + key.shape)
+        return sharded(keys)
+
+    step.stats = stats
+    return step

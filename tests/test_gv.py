@@ -102,3 +102,26 @@ class TestCountertermEquivalence:
                 expected = eval_graph(graphs[i])
                 got = eval_graph(tvec[i].coeffs[key])
                 assert got == pytest.approx(expected), (order, i)
+
+    def test_polar3_counterterms(self):
+        """The same contract on the POLARIZATION table family at base
+        order 3 (a different observable than the sigma files the reference
+        test covers — exercises the charge-polar reader path plus
+        the Taylor product on bubble-chain topologies)."""
+        orders = [(3, 0, 0), (3, 1, 0), (3, 0, 1), (3, 1, 1), (3, 2, 0),
+                  (3, 0, 2)]
+        dict_g = {}
+        for o in orders:
+            dict_g[o] = diagsGV("chargePolar", *o)[0]
+
+        diags = dict_g[(3, 0, 0)]
+        set_variables("x y", orders=[3, 3])
+        propagator_var = ([True, False], [False, True])
+        tvec, _ = taylorexpansion_feynman(diags, propagator_var)
+
+        for order, graphs in dict_g.items():
+            key = (order[1], order[2])
+            for i in range(min(2, len(graphs))):
+                expected = eval_graph(graphs[i])
+                got = eval_graph(tvec[i].coeffs[key])
+                assert got == pytest.approx(expected), (order, i)
