@@ -104,6 +104,23 @@ class TestEndToEnd:
         optimize_inplace(roots)
         _run_pipeline(roots, para.totalLoopNum, batch=32)
 
+    def test_gv_polar_tables_through_pipeline(self):
+        """GV-table-read graphs (not parquet-built) drive the identical
+        compile -> leaf-kernel -> fused-eval pipeline; independent host
+        evaluation agrees (the GV reader emits the same BareGreenId /
+        BareInteractionId leaf vocabulary, frontends.jl:115-232)."""
+        import os
+        import pytest as _pytest
+        from feynmandiagram_tpu.frontends import gv
+
+        if not os.environ.get("FDTPU_GV_TABLES"):
+            _pytest.skip("GV tables unavailable")
+        graphs = gv.diagsGV("chargePolar", 3)
+        roots = list(graphs)
+        optimize_inplace(roots, level=1)
+        # chargePolar order 3: 3 inner loops + 1 external momentum
+        _run_pipeline(roots, 4, batch=16)
+
     def test_artifact_roundtrip(self, tmp_path):
         from feynmandiagram_tpu.ops.evaluator import make_evaluator
         from feynmandiagram_tpu.ops.leaf_eval import make_leaf_evaluator
