@@ -27,8 +27,6 @@ from collections import defaultdict
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np
-
 
 def build_mc_chunk(order: int, batch: int, iters: int):
     import jax

@@ -8,11 +8,10 @@ batches, ready for ``jax.sharding`` over the sample axis.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Callable, Dict, List, Optional, Sequence
+from dataclasses import dataclass
+from typing import Callable, Dict, Optional, Sequence
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..computational_graph import Graph

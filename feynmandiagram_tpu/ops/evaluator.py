@@ -16,7 +16,6 @@ this data-parallel design.
 """
 from __future__ import annotations
 
-import functools
 from typing import Dict, Optional, Sequence
 
 import jax

@@ -52,8 +52,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.lowering import (FusedBucket, LoweredGraph, PowerPlan, ProdPlan,
-                            SumBucket, TILE_ROWS, _pad_to)
+from ..ops.lowering import LoweredGraph, TILE_ROWS, _pad_to
 
 GRAPH_AXIS = "graph"
 
