@@ -104,6 +104,63 @@ class TestEndToEnd:
         optimize_inplace(roots)
         _run_pipeline(roots, para.totalLoopNum, batch=32)
 
+    def test_renormalized_series_one_shared_ir(self):
+        """BASELINE config 4: self-energy with Taylor-mode AD to 2nd-order
+        counterterms, ALL coefficient graphs lowered into ONE shared flat
+        IR (SURVEY §7.1: coefficient sharing must survive lowering) and
+        evaluated through the fused TPU pipeline; each counterterm root
+        agrees with independent host evaluation."""
+        from feynmandiagram_tpu.utility import taylorAD
+        from feynmandiagram_tpu.frontends.diagram_id import (BareGreenId,
+                                                             BareInteractionId)
+        from feynmandiagram_tpu.ops.lowering import lower
+
+        para = DiagPara(type=SigmaDiag, innerLoopNum=2, hasTau=True,
+                        filter=(NoHartree,),
+                        interaction=(Interaction(ChargeCharge, Instant),))
+        extK = np.zeros(para.totalLoopNum)
+        extK[0] = 1.0
+        df = sigma(para, extK, False)
+        roots = [row["diagram"] for row in df]
+        optimize_inplace(roots, level=1)
+        dict_g = taylorAD(roots, [2, 2],
+                          [lambda p: isinstance(p, BareGreenId),
+                           lambda p: isinstance(p, BareInteractionId)])
+        orders = sorted(dict_g)
+        all_roots = [g for o in orders for g in dict_g[o]]
+        optimize_inplace(all_roots, level=1)
+
+        # one shared IR for the whole renormalized series
+        compiled = compile_evaluator(all_roots, max_loop_num=para.totalLoopNum,
+                                     beta=BETA, kF=KF, lam=LAM)
+        rng = np.random.default_rng(3)
+        batch = 8
+        varK = rng.standard_normal((3, para.totalLoopNum, batch))
+        varT = rng.random((para.totalLoopNum, batch)) * BETA
+        got = np.asarray(compiled(varK, varT))
+        assert got.shape[0] == len(all_roots)
+
+        # independent host evaluation (counterterm leaves carry derivative
+        # orders; np_leaf_values handles order-0 only, so evaluate with the
+        # leaf kernels' own values instead)
+        leafmap = leafmap_of(all_roots)
+        from feynmandiagram_tpu.ops.leaf_eval import (leaf_tables_from_lowered,
+                                                      make_leaf_evaluator)
+        lv = np.asarray(compiled.leaf_fn(varK, varT))
+        for b in range(0, batch, 4):
+            expected = [eval_graph(r, leafmap, list(lv[:, b]))
+                        for r in all_roots]
+            np.testing.assert_allclose(got[:, b], expected, rtol=2e-7,
+                                       atol=1e-10)
+
+        # sharing survives: one shared IR is much smaller than per-order
+        # lowerings summed
+        shared = lower(all_roots, leafmap, sum_mode="fused", cse=True)
+        per_order = 0
+        for o in orders:
+            per_order += lower(dict_g[o], sum_mode="fused", cse=True).num_slots
+        assert shared.num_slots < 0.8 * per_order, (shared.num_slots, per_order)
+
     def test_gv_polar_tables_through_pipeline(self):
         """GV-table-read graphs (not parquet-built) drive the identical
         compile -> leaf-kernel -> fused-eval pipeline; independent host
