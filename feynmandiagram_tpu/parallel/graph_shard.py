@@ -388,7 +388,7 @@ def _resolve_plan(lowered: LoweredGraph, n_dev: int,
 
 
 def _make_device_eval(levels, stats, root_send_idx, root_pos, dtype,
-                      graph_axis: str):
+                      graph_axis: str, layout: str = "flat"):
     """Per-device evaluation body shared by the sharded evaluator and the
     sharded MC step: ``device_fn(leaf_block [leaf_chunk, b]) -> roots``."""
     root_pos_j = jnp.asarray(root_pos)
@@ -399,12 +399,30 @@ def _make_device_eval(levels, stats, root_send_idx, root_pos, dtype,
     root_send_tab = jnp.asarray(root_send_idx)
 
     def device_fn(leaf_block):
-        """leaf_block: [leaf_chunk, batch] — this device's leaf rows."""
+        """leaf_block: [leaf_chunk, batch] — this device's leaf rows.
+
+        With ``layout='tile'`` (batch % 1024 == 0) the local buffer and
+        halos are kept in the tile-row form [rows, batch//128, 128], the
+        same 2-4x row-gather win as the single-chip tile evaluator
+        (ops.evaluator._eval_levels_tile) — the sharded per-device buffers
+        are VMEM-resident by design, exactly the regime where the flat
+        layout pays the 8x sublane read amplification.
+        """
         d = jax.lax.axis_index(graph_axis)
         batch = leaf_block.shape[1]
-        w = jnp.zeros((stats.local_slots, batch), dtype)
+        tile = layout == "tile"
+        if tile:
+            if batch % 1024:
+                raise ValueError("layout='tile' needs per-device batch "
+                                 "% 1024 == 0")
+            nsub = batch // 128
+            leaf_block = leaf_block.reshape(leaf_block.shape[0], nsub, 128)
+            w = jnp.zeros((stats.local_slots, nsub, 128), dtype)
+        else:
+            w = jnp.zeros((stats.local_slots, batch), dtype)
         w = jax.lax.dynamic_update_slice_in_dim(
             w, leaf_block.astype(dtype), 0, axis=0)
+        exp1 = (None, None) if tile else (None,)
 
         def gather_halo(tab):
             send = jax.lax.dynamic_index_in_dim(tab, d, axis=0, keepdims=False)
@@ -426,19 +444,24 @@ def _make_device_eval(levels, stats, root_send_idx, root_pos, dtype,
                     fac = jax.lax.dynamic_index_in_dim(
                         jnp.asarray(g.fac, dtype), d, axis=-2, keepdims=False)
                     if g.kind == "sum":
-                        blk = jnp.sum(halo[idx] * fac[:, :, None], axis=0)
+                        blk = jnp.sum(halo[idx] * fac[(...,) + exp1], axis=0)
                     elif g.kind == "fused":
-                        blk = halo[idx[0]] * fac[:, :, None]
-                        for k in range(1, idx.shape[0]):
-                            blk = blk * halo[idx[k]]
-                        blk = jnp.sum(blk, axis=0)
+                        # unrolled term sum (same rationale as the tile
+                        # single-chip path: slice-adds beat multiply_reduce)
+                        blk = None
+                        for t in range(idx.shape[1]):
+                            part = halo[idx[0, t]] * fac[(t,) + (...,) + exp1]
+                            for k in range(1, idx.shape[0]):
+                                part = part * halo[idx[k, t]]
+                            blk = part if blk is None else blk + part
                     elif g.kind == "prod":
                         blk = halo[idx[0]]
                         for a in range(1, idx.shape[0]):
                             blk = blk * halo[idx[a]]
-                        blk = blk * fac[:, None]
+                        blk = blk * fac[(...,) + exp1]
                     else:
-                        blk = jax.lax.integer_pow(halo[idx], g.pow_n) * fac[:, None]
+                        blk = jax.lax.integer_pow(halo[idx], g.pow_n) \
+                            * fac[(...,) + exp1]
                     off = jax.lax.dynamic_index_in_dim(
                         jnp.asarray(g.local_off), d, axis=0, keepdims=False)
                     w_new = jax.lax.dynamic_update_slice_in_dim(
@@ -450,7 +473,10 @@ def _make_device_eval(levels, stats, root_send_idx, root_pos, dtype,
             root_send_tab, d, axis=0, keepdims=False)
         root_halo = jax.lax.all_gather(w[root_send], graph_axis,
                                        axis=0, tiled=True)
-        return root_halo[root_pos_j]                              # [R, batch]
+        roots_blk = root_halo[root_pos_j]
+        if tile:
+            roots_blk = roots_blk.reshape(len(root_pos), batch)
+        return roots_blk                                          # [R, batch]
 
     return device_fn
 
@@ -469,7 +495,8 @@ def make_graph_sharded_evaluator(lowered: LoweredGraph, mesh: Mesh, *,
                                  graph_axis: str = GRAPH_AXIS,
                                  batch_axis: Optional[str] = None,
                                  dtype=None, local_reuse: bool = True,
-                                 interleave: Optional[bool] = None):
+                                 interleave: Optional[bool] = None,
+                                 layout: str = "flat"):
     """Build ``f(leaf_values[num_leaves, batch]) -> roots[R, batch]`` with a
     slot-partitioned weight buffer: per-device memory is
     ``stats.local_slots`` rows (~``live_slots / n`` with the default
@@ -493,7 +520,7 @@ def make_graph_sharded_evaluator(lowered: LoweredGraph, mesh: Mesh, *,
     const_values = np.asarray(lowered.const_values)
 
     device_fn = _make_device_eval(levels, stats, root_send_idx, root_pos,
-                                  dtype, graph_axis)
+                                  dtype, graph_axis, layout)
     sharded = _shard_map_compat(shard_map, device_fn, mesh,
                                 (P(graph_axis, batch_axis),),
                                 P(None, batch_axis))
@@ -534,6 +561,7 @@ def make_graph_sharded_mc_step(lowered: LoweredGraph, tables, mesh: Mesh, *,
                                batch_axis: str = "batch",
                                dtype=None, local_reuse: bool = True,
                                interleave: Optional[bool] = None,
+                               layout: str = "flat",
                                interaction_convention: str = "lambda_power"):
     """The BASELINE-config-5 production shape: one Monte-Carlo estimation
     step with the graph memory-partitioned over ``graph_axis`` AND samples
@@ -562,7 +590,7 @@ def make_graph_sharded_mc_step(lowered: LoweredGraph, tables, mesh: Mesh, *,
     levels, stats, root_send_idx, root_pos, leaf_chunk = _resolve_plan(
         lowered, n_graph, interleave, local_reuse)
     device_eval = _make_device_eval(levels, stats, root_send_idx, root_pos,
-                                    dtype, graph_axis)
+                                    dtype, graph_axis, layout)
 
     nl_total = lowered.num_leaves
     n_const = len(lowered.const_slots)

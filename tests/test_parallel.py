@@ -214,6 +214,39 @@ class TestGraphSharding:
         with pytest.raises(ValueError, match="reuse_slots"):
             make_graph_sharded_evaluator(lowered, mesh)
 
+    def test_graph_sharded_tile_layout(self):
+        """layout='tile' keeps the per-device buffer and halos in tile-row
+        form (the sharded analog of ops.evaluator._eval_levels_tile); must
+        equal the flat sharded layout and single chip."""
+        import jax.numpy as jnp
+        from feynmandiagram_tpu.ops import lower, make_evaluator
+        from feynmandiagram_tpu.parallel.graph_shard import make_graph_sharded_evaluator
+        from feynmandiagram_tpu.backends.compile import leafmap_of
+        from feynmandiagram_tpu.frontends import ChargeCharge, Instant, NoHartree
+        from feynmandiagram_tpu.frontends.parquet import (DiagPara, Interaction,
+                                                          SigmaDiag, sigma)
+        from feynmandiagram_tpu.computational_graph import optimize_inplace
+        para = DiagPara(type=SigmaDiag, innerLoopNum=2, hasTau=True,
+                        filter=(NoHartree,),
+                        interaction=(Interaction(ChargeCharge, Instant),))
+        extK = np.zeros(para.totalLoopNum)
+        extK[0] = 1.0
+        roots = [r["diagram"] for r in sigma(para, extK, False)]
+        optimize_inplace(roots, level=1)
+        lowered = lower(roots, leafmap_of(roots), sum_mode="fused", cse=True,
+                        reuse_slots=False)
+        nl = lowered.num_leaves - len(lowered.const_slots)
+        vals = np.random.default_rng(17).uniform(
+            0.5, 1.5, (nl, 1024)).astype(np.float32)
+        single = np.asarray(make_evaluator(lowered, dtype=jnp.float32,
+                                           layout="flat")(vals))
+        mesh = make_sample_mesh(4, axis_name="graph")
+        for layout in ("flat", "tile"):
+            g = make_graph_sharded_evaluator(lowered, mesh, dtype=jnp.float32,
+                                             layout=layout)
+            np.testing.assert_allclose(np.asarray(g(vals)), single,
+                                       rtol=2e-5, atol=1e-6), layout
+
     def test_graph_sharded_mc_step_2d(self):
         """Production config-5 shape: on-device sampling + leaf kernels +
         graph-sharded evaluation on a (graph x batch) mesh must reproduce
