@@ -251,6 +251,42 @@ class TestArtifactV2:
         optimize_inplace(roots)
         return roots, para
 
+    def test_artifact_to_sharded_serving(self, tmp_path):
+        """The config-5 serving workflow: generate + lower ONCE, export the
+        artifact; a serving job loads it (no symbolic graphs, no parquet)
+        and builds the graph-sharded MC step directly on its mesh."""
+        import jax
+        from feynmandiagram_tpu.ops.evaluator import make_evaluator
+        from feynmandiagram_tpu.ops.leaf_eval import make_leaf_evaluator
+        from feynmandiagram_tpu.parallel import (make_sample_mesh,
+                                                 make_graph_sharded_evaluator)
+
+        roots, para = self._roots()
+        path = str(tmp_path / "sigma2_serve.npz")
+        export_artifact(path, roots, max_loop_num=para.totalLoopNum,
+                        sum_mode="fused", cse=True, reuse_slots=False)
+        lowered, tables = load_artifact(path)
+
+        rng = np.random.default_rng(5)
+        nl = lowered.num_leaves - len(lowered.const_slots)
+        vals = rng.uniform(0.5, 1.5, (nl, 8))
+        single = np.asarray(make_evaluator(lowered)(vals))
+        mesh = make_sample_mesh(4, axis_name="graph")
+        sharded = make_graph_sharded_evaluator(lowered, mesh)
+        np.testing.assert_allclose(np.asarray(sharded(vals)), single,
+                                   rtol=1e-10, atol=1e-12)
+        assert sharded.stats.local_slots < sharded.stats.full_slots
+
+        # and the full MC step from the artifact's tables alone
+        from feynmandiagram_tpu.parallel import make_graph_sharded_mc_step
+        from jax.sharding import Mesh
+        devices = np.asarray(jax.devices()[:4]).reshape(2, 2)
+        mesh2d = Mesh(devices, ("graph", "batch"))
+        step = make_graph_sharded_mc_step(lowered, tables, mesh2d, beta=BETA,
+                                          kF=KF, lam=LAM)
+        means = np.asarray(step(jax.random.PRNGKey(1), 4, 2))
+        assert np.all(np.isfinite(means))
+
     @pytest.mark.parametrize("sum_mode", ["csr", "bucketed", "fused"])
     def test_roundtrip_all_modes(self, tmp_path, sum_mode):
         from feynmandiagram_tpu.ops.evaluator import make_evaluator
