@@ -47,3 +47,12 @@ class TestSigmaMC:
         mean, err = sigma_mc(3, U, BETA, batch=4096, chunks=8, seed=2)
         assert abs(mean.real - expect.real) < 5 * max(abs(err.real), 3e-4)
         assert abs(mean.imag - expect.imag) < 5 * max(abs(err.imag), 3e-4)
+
+    def test_order4_vs_series(self):
+        """One order beyond round 3 (and beyond the legacy reference test's
+        live coverage): the order-4 parquet sigma MC estimate reproduces
+        the U^4 coefficient of the closed-form Hubbard-atom series."""
+        expect = sigma_power_series(BETA)[3] * U ** 4
+        mean, err = sigma_mc(4, U, BETA, batch=8192, chunks=12, seed=3)
+        assert abs(mean.real - expect.real) < 5 * max(abs(err.real), 5e-4)
+        assert abs(mean.imag - expect.imag) < 5 * max(abs(err.imag), 5e-4)
