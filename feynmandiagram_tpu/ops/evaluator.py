@@ -255,17 +255,24 @@ def make_evaluator(lowered: LoweredGraph, *, dtype=None, jit: bool = True,
         raise ValueError("layout='tile' requires sum_mode='fused' lowering")
 
     def _tile_ok(batch: int) -> bool:
-        if not fused_only or jnp.dtype(dtype).itemsize != 4:
-            return False
         if layout == "flat":
             return False
-        if layout == "auto":
-            if jax.devices()[0].platform == "cpu":
-                return False
-            return batch % 1024 == 0
-        if batch % 1024 != 0:
-            raise ValueError("layout='tile' needs batch % 1024 == 0")
-        return True
+        if layout == "tile":
+            # explicit request: reject unsupported configs loudly instead of
+            # silently falling back (ADVICE r4 #1)
+            if jnp.dtype(dtype).itemsize != 4:
+                raise ValueError(
+                    "layout='tile' supports 4-byte dtypes only (the tile-row "
+                    f"buffer assumes the f32 (8, 128) tile); got {dtype}")
+            if batch % 256 != 0:
+                raise ValueError("layout='tile' needs batch % 256 == 0")
+            return True
+        # auto
+        if not fused_only or jnp.dtype(dtype).itemsize != 4:
+            return False
+        if jax.devices()[0].platform == "cpu":
+            return False
+        return batch % 1024 == 0
 
     def evaluate(leaf_values: jnp.ndarray) -> jnp.ndarray:
         leaf_values = jnp.asarray(leaf_values, dtype)

