@@ -45,6 +45,61 @@ def _pad_to(n: int, k: int) -> int:
     return ((n + k - 1) // k) * k
 
 
+def _pad_pow2(n: int) -> int:
+    a = 1
+    while a < n:
+        a *= 2
+    return a
+
+
+class _SlotPool:
+    """Contiguous-interval first-fit allocator over recycled slots."""
+
+    def __init__(self, top: int):
+        self.top = top
+        self.intervals: List[List[int]] = []  # sorted [start, end)
+        self.pending: List[int] = []
+
+    def free(self, slots: List[int]) -> None:
+        self.pending.extend(slots)
+
+    def _merge(self) -> None:
+        if not self.pending:
+            return
+        ivs = self.intervals + [[p, p + 1] for p in self.pending]
+        self.pending = []
+        ivs.sort()
+        merged: List[List[int]] = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                if e > merged[-1][1]:
+                    merged[-1][1] = e
+            else:
+                merged.append([s, e])
+        self.intervals = merged
+
+    def alloc(self, count: int, align: int = 1) -> int:
+        self._merge()
+        for k, (s, e) in enumerate(self.intervals):
+            s_al = _pad_to(s, align)
+            if e - s_al >= count:
+                if s_al > s:
+                    self.intervals[k] = [s, s_al]
+                    if e > s_al + count:
+                        self.intervals.insert(k + 1, [s_al + count, e])
+                elif e - s == count:
+                    del self.intervals[k]
+                else:
+                    self.intervals[k][0] = s + count
+                return s_al
+        s = _pad_to(self.top, align)
+        if s > self.top:
+            self.intervals.append([self.top, s])
+            self.intervals.sort()
+        self.top = s + count
+        return s
+
+
 @dataclass
 class _Rec:
     """Internal lightweight node record during lowering."""
@@ -224,7 +279,7 @@ def lower(roots: Sequence[Graph], leafmap: Optional[Dict[int, int]] = None,
           dtype=np.float64, *, sum_mode: str = "csr",
           max_sum_arity: int = 64, merge_threshold: int = 0,
           cse: bool = False, reuse_slots: Optional[bool] = None,
-          schedule: str = "alap") -> LoweredGraph:
+          schedule: str = "auto") -> LoweredGraph:
     """Lower root graphs into a LoweredGraph.
 
     ``leafmap`` maps leaf uid -> leaf-value index; when given, leaf slot k
@@ -250,15 +305,16 @@ def lower(roots: Sequence[Graph], leafmap: Optional[Dict[int, int]] = None,
     graphs whose full slot count exceeds per-chip HBM (BASELINE config 5).
 
     ``schedule``: level assignment of internal nodes.  'asap' = earliest
-    (1 + max child level); 'alap' (default) = latest level strictly below
-    every consumer — TYPICALLY shorter lifetimes and a smaller peak live
-    set, hence a larger VMEM-resident batch under the ``recommended_batch``
-    sizing rule.  Not a guarantee: with cse=True the interaction with
-    bucket grouping can make ALAP peak slightly larger (measured 1122 vs
-    1086 on order-3 vertex4, ADVICE r3); outputs are exactly equal either
-    way, so callers chasing the last few slots should lower with both and
-    keep the smaller.  Roots and leaves are pinned; both schedules respect
-    all dependencies.
+    (1 + max child level); 'alap' = latest level strictly below every
+    consumer — TYPICALLY shorter lifetimes and a smaller peak live set,
+    hence a larger VMEM-resident batch under the ``recommended_batch``
+    sizing rule.  Neither dominates (with cse=True the interaction with
+    bucket grouping can make ALAP peak slightly larger — measured 1122 vs
+    1086 on order-3 vertex4, ADVICE r3), so 'auto' (default) simulates the
+    reuse allocator under BOTH assignments — host-side integer work only —
+    and keeps the one with fewer peak slots (ALAP when reuse is off or on
+    ties).  Outputs are exactly equal for every schedule; roots and leaves
+    are pinned; all schedules respect all dependencies.
     """
     # ---- collect records (object-identity traversal; leaves dedup by uid)
     recs: List[_Rec] = []
@@ -434,28 +490,142 @@ def lower(roots: Sequence[Graph], leafmap: Optional[Dict[int, int]] = None,
                 if not state[c]:
                     stack.append((c, False))
 
-    # ---- ALAP: pull each internal non-root node down to just above its
-    # earliest consumer (consumer depths are final when visited: sorting by
-    # ASAP depth descending processes consumers before their producers,
-    # since depth[consumer] > depth[producer] always)
-    if schedule == "alap":
+    # ---- schedule selection.  ALAP pulls each internal non-root node down
+    # to just above its earliest consumer; 'auto' (default, reuse on) runs a
+    # cheap peak-slot simulation of BOTH assignments and keeps the smaller
+    # (ADVICE r3 #1 / VERDICT r4 #6: neither schedule dominates — deep
+    # shared parquet nodes favor ASAP at some orders).
+    if reuse_slots is None:
+        reuse_slots = sum_mode == "fused"
+    if reuse_slots and sum_mode != "fused":
+        raise ValueError("reuse_slots requires sum_mode='fused'")
+    align = TILE_ROWS if sum_mode == "fused" else 1
+    PINNED = 1 << 30
+
+    def alap_depths(depth_in: List[int]) -> List[int]:
+        d_out = list(depth_in)
         root_set_sched = set(root_recs)
         consumer_min = [None] * len(recs)
         # descending ASAP order visits every consumer before its producers
-        # (depth[consumer] > depth[producer] strictly), so depth[i] is final
+        # (depth[consumer] > depth[producer] strictly), so d_out[i] is final
         # when visited and can be propagated into its children's minima
         order_desc = sorted((i for i in range(len(recs)) if i not in inline_set),
-                            key=lambda i: -depth[i])
+                            key=lambda i: -depth_in[i])
         for i in order_desc:
-            movable = (depth[i] > 0 and i not in root_set_sched
+            movable = (d_out[i] > 0 and i not in root_set_sched
                        and recs[i].op not in ("leaf", "const"))
             if movable and consumer_min[i] is not None \
-                    and consumer_min[i] - 1 > depth[i]:
-                depth[i] = consumer_min[i] - 1
-            d = depth[i]
+                    and consumer_min[i] - 1 > d_out[i]:
+                d_out[i] = consumer_min[i] - 1
+            d = d_out[i]
             for c in eff_children(i):
                 if consumer_min[c] is None or d < consumer_min[c]:
                     consumer_min[c] = d
+        return d_out
+
+    _terms_cache: Dict[int, List[Tuple[List[int], float]]] = {}
+
+    def terms_cached(i: int):
+        t = _terms_cache.get(i)
+        if t is None:
+            t = _terms_cache[i] = terms_of(i)
+        return t
+
+    def fused_groupings(nodes: List[int]) -> List[Tuple[Tuple[int, int],
+                                                        List[int]]]:
+        """Group fused-mode sum/prod nodes of one level by (padded term
+        count, max operands per term), largest group first; shared by the
+        real lowering pass and the schedule simulation so their allocation
+        sequences match exactly.  Arity is exact up to 8 (padding reads are
+        real gather traffic), then pow2."""
+        by_key: Dict[Tuple[int, int], List[int]] = {}
+        for i in nodes:
+            terms = terms_cached(i)
+            a = len(terms)
+            key = (a if a <= 8 else _pad_pow2(a),
+                   max(len(ops) for ops, _ in terms))
+            by_key.setdefault(key, []).append(i)
+        # optional coalescing: merge (arity, n_op) groups while the padding
+        # cost (extra gathered elements) stays under the threshold
+        if merge_threshold > 0 and len(by_key) > 1:
+            items = [[k, v] for k, v in sorted(by_key.items())]
+            merged_any = True
+            while merged_any and len(items) > 1:
+                merged_any = False
+                best = None
+                for x in range(len(items)):
+                    for y in range(x + 1, len(items)):
+                        (a1, o1), g1 = items[x]
+                        (a2, o2), g2 = items[y]
+                        na, no = max(a1, a2), max(o1, o2)
+                        extra = ((na * no - a1 * o1) * len(g1)
+                                 + (na * no - a2 * o2) * len(g2))
+                        if extra <= merge_threshold and (
+                                best is None or extra < best[0]):
+                            best = (extra, x, y, na, no)
+                if best is not None:
+                    _, x, y, na, no = best
+                    items[x] = [(na, no), items[x][1] + items[y][1]]
+                    del items[y]
+                    merged_any = True
+            by_key = {tuple(k): v for k, v in items}
+        return sorted(by_key.items(), key=lambda kv: -len(kv[1]))
+
+    def _sim_peak(depth_arr: List[int], n_leaf_slots: int) -> int:
+        """Peak slot count of the fused+reuse allocator under ``depth_arr``,
+        replaying the exact allocation/free sequence without building the
+        index tables (host-side integer work only)."""
+        last_read_s = [0] * len(recs)
+        for i in range(len(recs)):
+            if i in inline_set:
+                continue
+            for c in eff_children(i):
+                if depth_arr[i] > last_read_s[c]:
+                    last_read_s[c] = depth_arr[i]
+        for r in root_recs:
+            last_read_s[r] = PINNED
+        if ones_rec >= 0:
+            last_read_s[ones_rec] = PINNED
+        pool = _SlotPool(n_leaf_slots)
+        free_events: Dict[int, List[int]] = {}
+        maxd = max(depth_arr) if recs else 0
+        for lev in range(1, maxd + 1):
+            for fl in list(free_events):
+                if fl < lev:
+                    pool.free(free_events.pop(fl))
+            nodes = [i for i, r in enumerate(recs)
+                     if depth_arr[i] == lev and i not in inline_set
+                     and r.op in ("sum", "prod", "power")]
+            pows_by_n: Dict[int, List[int]] = {}
+            for i in nodes:
+                if recs[i].op == "power":
+                    pows_by_n.setdefault(recs[i].power, []).append(i)
+            group_lists = [g for _, g in fused_groupings(
+                [i for i in nodes if recs[i].op != "power"])]
+            group_lists += [pows_by_n[n] for n in sorted(pows_by_n)]
+            for group in group_lists:
+                n_pad = _pad_to(len(group), align)
+                start = pool.alloc(n_pad, align)
+                for k, i in enumerate(group):
+                    if last_read_s[i] != PINNED:
+                        free_events.setdefault(last_read_s[i],
+                                               []).append(start + k)
+                for k in range(len(group), n_pad):
+                    free_events.setdefault(lev, []).append(start + k)
+        return pool.top
+
+    if schedule == "auto":
+        if reuse_slots:
+            n_leaf_slots_pre = sum(1 for r in recs if r.op in ("leaf", "const"))
+            d_alap = alap_depths(depth)
+            # ALAP wins ties (typically shorter lifetimes downstream)
+            if _sim_peak(d_alap, n_leaf_slots_pre) <= _sim_peak(
+                    depth, n_leaf_slots_pre):
+                depth = d_alap
+        else:
+            depth = alap_depths(depth)
+    elif schedule == "alap":
+        depth = alap_depths(depth)
     elif schedule != "asap":
         raise ValueError(f"unknown schedule {schedule!r}")
 
@@ -483,18 +653,7 @@ def lower(roots: Sequence[Graph], leafmap: Optional[Dict[int, int]] = None,
     next_slot = num_leaf_slots
     num_edges = 0
 
-    def pad_pow2(n: int) -> int:
-        a = 1
-        while a < n:
-            a *= 2
-        return a
-
     # ---- slot recycling (fused mode): liveness + contiguous-interval pool
-    if reuse_slots is None:
-        reuse_slots = sum_mode == "fused"
-    if reuse_slots and sum_mode != "fused":
-        raise ValueError("reuse_slots requires sum_mode='fused'")
-    PINNED = 1 << 30
     last_read = [0] * len(recs)
     if reuse_slots:
         for i in range(len(recs)):
@@ -508,56 +667,8 @@ def lower(roots: Sequence[Graph], leafmap: Optional[Dict[int, int]] = None,
         if ones_rec >= 0:
             last_read[ones_rec] = PINNED
 
-    class _SlotPool:
-        """Contiguous-interval first-fit allocator over recycled slots."""
-
-        def __init__(self, top: int):
-            self.top = top
-            self.intervals: List[List[int]] = []  # sorted [start, end)
-            self.pending: List[int] = []
-
-        def free(self, slots: List[int]) -> None:
-            self.pending.extend(slots)
-
-        def _merge(self) -> None:
-            if not self.pending:
-                return
-            ivs = self.intervals + [[p, p + 1] for p in self.pending]
-            self.pending = []
-            ivs.sort()
-            merged: List[List[int]] = []
-            for s, e in ivs:
-                if merged and s <= merged[-1][1]:
-                    if e > merged[-1][1]:
-                        merged[-1][1] = e
-                else:
-                    merged.append([s, e])
-            self.intervals = merged
-
-        def alloc(self, count: int, align: int = 1) -> int:
-            self._merge()
-            for k, (s, e) in enumerate(self.intervals):
-                s_al = _pad_to(s, align)
-                if e - s_al >= count:
-                    if s_al > s:
-                        self.intervals[k] = [s, s_al]
-                        if e > s_al + count:
-                            self.intervals.insert(k + 1, [s_al + count, e])
-                    elif e - s == count:
-                        del self.intervals[k]
-                    else:
-                        self.intervals[k][0] = s + count
-                    return s_al
-            s = _pad_to(self.top, align)
-            if s > self.top:
-                self.intervals.append([self.top, s])
-                self.intervals.sort()
-            self.top = s + count
-            return s
-
     pool = _SlotPool(num_leaf_slots)
     free_events: Dict[int, List[int]] = {}
-    align = TILE_ROWS if sum_mode == "fused" else 1
 
     def alloc_group(group: List[int], lev: int) -> int:
         """Assign a contiguous (aligned, padded) slot range to ``group``;
@@ -602,57 +713,19 @@ def lower(roots: Sequence[Graph], leafmap: Optional[Dict[int, int]] = None,
 
         fused_buckets: List[FusedBucket] = []
         if sum_mode == "fused":
-            # sums AND standalone prods all lower to the uniform primitive,
-            # grouped by (padded term count, max operands per term); arity is
-            # exact up to 8 (padding reads are real gather traffic), then pow2
-            by_key: Dict[Tuple[int, int], List[int]] = {}
-            node_terms: Dict[int, List[Tuple[List[int], float]]] = {}
-            for i in nodes:
-                if recs[i].op == "power":
-                    continue
-                terms = terms_of(i)
-                node_terms[i] = terms
-                a = len(terms)
-                key = (a if a <= 8 else pad_pow2(a),
-                       max(len(ops) for ops, _ in terms))
-                by_key.setdefault(key, []).append(i)
-            # optional coalescing: merge (arity, n_op) groups while the
-            # padding cost (extra gathered elements) stays under the
-            # threshold — fewer, larger device ops per level, which matters
-            # when the evaluator is kernel-overhead bound rather than
-            # bandwidth bound
-            if merge_threshold > 0 and len(by_key) > 1:
-                items = [[k, v] for k, v in sorted(by_key.items())]
-                merged_any = True
-                while merged_any and len(items) > 1:
-                    merged_any = False
-                    best = None
-                    for x in range(len(items)):
-                        for y in range(x + 1, len(items)):
-                            (a1, o1), g1 = items[x]
-                            (a2, o2), g2 = items[y]
-                            na, no = max(a1, a2), max(o1, o2)
-                            extra = ((na * no - a1 * o1) * len(g1)
-                                     + (na * no - a2 * o2) * len(g2))
-                            if extra <= merge_threshold and (
-                                    best is None or extra < best[0]):
-                                best = (extra, x, y, na, no)
-                    if best is not None:
-                        _, x, y, na, no = best
-                        items[x] = [(na, no), items[x][1] + items[y][1]]
-                        del items[y]
-                        merged_any = True
-                by_key = {tuple(k): v for k, v in items}
-            # allocate large groups first (less free-pool fragmentation)
-            for (arity, n_op), group in sorted(
-                    by_key.items(), key=lambda kv: -len(kv[1])):
+            # sums AND standalone prods all lower to the uniform primitive;
+            # grouping (and optional coalescing) in ``fused_groupings`` —
+            # shared with the schedule='auto' peak simulation.  Large groups
+            # allocate first (less free-pool fragmentation).
+            for (arity, n_op), group in fused_groupings(
+                    [i for i in nodes if recs[i].op != "power"]):
                 start = alloc_group(group, lev)
                 cpad = _pad_to(len(group), align)
                 ones_slot = slot_of[ones_rec]
                 idx = np.full((n_op, arity, cpad), ones_slot, np.int32)
                 fac = np.zeros((arity, cpad), dtype)
                 for k, i in enumerate(group):
-                    for a, (ops, coeff) in enumerate(node_terms[i]):
+                    for a, (ops, coeff) in enumerate(terms_cached(i)):
                         fac[a, k] = coeff
                         for m, c in enumerate(ops):
                             idx[m, a, k] = slot_of[c]
