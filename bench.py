@@ -108,6 +108,13 @@ def main():
 
     samples_per_s = batch * iters / dt
     edges_per_s = compiled.lowered.num_edges * samples_per_s
+    # roofline self-report (VERDICT r4 #6): every edge is one gathered row
+    # operand of `batch` f32 lanes, so gathered-row traffic = edges_per_s *
+    # 4 B.  The denominator is the measured speed-of-light of the tile-row
+    # gather engine on this chip (3.2 TB/s contiguous-output per-term
+    # gathers, PARITY.md profile table; traced, order-4 shapes).  The pass
+    # also spends ~29% on non-gather work, so ~0.7 is the practical ceiling.
+    gathered_tb_s = edges_per_s * 4 / 1e12
     result = {
         "metric": f"mc_samples_per_s_order{order}_ver4",
         "value": round(samples_per_s, 1),
@@ -115,6 +122,9 @@ def main():
         "vs_baseline": round(samples_per_s / PIN_SAMPLES_PER_S, 3),
         "extra": {
             "edges_per_s": round(edges_per_s, 0),
+            "gathered_row_tb_s": round(gathered_tb_s, 3),
+            "frac_of_measured_gather_ceiling_3p2tbs": round(
+                gathered_tb_s / 3.2, 3),
             "batch": batch,
             "iters": iters,
             "num_nodes": compiled.lowered.num_slots,
