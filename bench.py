@@ -43,9 +43,11 @@ def main():
     optimize_inplace(roots, level=1)
     sum_mode = os.environ.get("FDTPU_BENCH_SUM_MODE", "fused")
     merge_threshold = int(os.environ.get("FDTPU_BENCH_MERGE", 0))
+    layout = os.environ.get("FDTPU_BENCH_LAYOUT", "auto")
     compiled = compile_evaluator(roots, max_loop_num=para.totalLoopNum,
                                  beta=0.5, kF=1.919, lam=1.0, dtype=dtype,
-                                 sum_mode=sum_mode, merge_threshold=merge_threshold)
+                                 sum_mode=sum_mode, merge_threshold=merge_threshold,
+                                 layout=layout)
 
     # batch 2048 = 16 sublane-tiles x 128 lanes: the tile-row layout
     # ([num_slots, 16, 128] weight buffer, 65 MB at order 4 — VMEM-resident)
@@ -130,6 +132,7 @@ def main():
             "num_nodes": compiled.lowered.num_slots,
             "num_edges": compiled.lowered.num_edges,
             "sum_mode": sum_mode,
+            "layout": layout,
             "fused": fused,
             "merge_threshold": merge_threshold,
             "recommended_batch": rec,
