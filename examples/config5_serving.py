@@ -72,7 +72,9 @@ def serve(path: str, batch_per_device: int = 8, iters: int = 4) -> None:
 
 
 def main():
-    order = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    # default = order 5, the near-named config-5 scale (order 6 runs the
+    # same path, ~8x the host generation and compile time)
+    order = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     path = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/ver4_o{order}.npz"
     if not os.path.exists(path):
         generate(order, path)

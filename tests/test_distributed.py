@@ -55,3 +55,82 @@ def test_two_process_psum(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out}"
         assert f"proc {i} ok" in out
+
+
+_GRAPH_SHARD_WORKER = """
+import sys
+proc_id = int(sys.argv[1])
+from feynmandiagram_tpu.utils.distributed import initialize_distributed
+initialize_distributed("localhost:{port}", 2, proc_id)
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 8, jax.devices()
+assert len(jax.local_devices()) == 4
+
+from feynmandiagram_tpu.frontends import ChargeCharge, Instant, NoHartree
+from feynmandiagram_tpu.frontends.parquet import (DiagPara, Interaction,
+                                                  Ver4Diag, vertex4)
+from feynmandiagram_tpu.computational_graph import optimize_inplace
+from feynmandiagram_tpu.ops import lower, make_evaluator
+from feynmandiagram_tpu.backends.compile import leafmap_of
+from feynmandiagram_tpu.parallel.graph_shard import make_graph_sharded_evaluator
+
+# identical deterministic generation in both processes (fresh uid space)
+para = DiagPara(type=Ver4Diag, innerLoopNum=3, hasTau=True,
+                filter=(NoHartree,),
+                interaction=(Interaction(ChargeCharge, Instant),))
+roots = [row["diagram"] for row in vertex4(para)]
+optimize_inplace(roots, level=1)
+lowered = lower(roots, leafmap_of(roots), sum_mode="fused", cse=True,
+                reuse_slots=False)
+nl = lowered.num_leaves - len(lowered.const_slots)
+batch = 8
+vals = np.random.default_rng(23).uniform(0.5, 1.5, (nl, batch))
+
+# global 8-device mesh spanning both processes: the per-level halo
+# all_gathers cross the process boundary (the DCN path on a real pod)
+mesh = Mesh(np.asarray(jax.devices()), ("graph",))
+g = make_graph_sharded_evaluator(lowered, mesh, dtype=jnp.float64)
+rep = NamedSharding(mesh, P())
+gvals = jax.make_array_from_process_local_data(rep, vals)
+out = g(gvals)
+assert out.sharding.is_fully_replicated
+multi = np.asarray(jax.device_get(out.addressable_data(0)))
+
+single = np.asarray(make_evaluator(
+    lowered, dtype=np.float64,
+    jit=False)(vals))  # local single-device reference on this process
+np.testing.assert_allclose(multi, single, rtol=1e-12, atol=1e-14)
+assert g.stats.local_slots < g.stats.full_slots
+print("proc", proc_id, "graphshard ok")
+"""
+
+
+@pytest.mark.timeout(900)
+def test_two_process_graph_sharded_evaluator(tmp_path):
+    """Cross-process graph sharding (VERDICT r4 #4): 2 real processes x 4
+    virtual CPU devices each, one global 8-device mesh, the memory-
+    partitioned evaluator on an order-3 vertex-4 — per-level halo
+    all_gathers cross the process boundary; result equals the
+    single-process evaluator exactly (f64)."""
+    port = 29582
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+               JAX_ENABLE_X64="1",
+               XLA_FLAGS="--xla_force_host_platform_device_count=4",
+               PYTHONPATH=os.path.dirname(os.path.dirname(
+                   os.path.abspath(__file__))))
+    script = _GRAPH_SHARD_WORKER.format(port=port)
+    procs = [subprocess.Popen([sys.executable, "-c", script, str(i)],
+                              env=env, stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT)
+             for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=870)
+        outs.append(out.decode())
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out}"
+        assert f"proc {i} graphshard ok" in out
