@@ -513,16 +513,17 @@ class TestRecommendedBatch:
             def __init__(self, n):
                 self.num_slots = n
 
-        # order-4 scale (7,928 live slots, 80 MB budget) -> tile batch 2048,
+        # order-4 scale (7,928 live slots, 96 MB budget) -> tile batch 2048,
         # the measured optimum
         b = recommended_batch(_L(7928))
         assert b == 2048
-        assert 7928 * b * 4 <= 80 << 20
-        assert 7928 * (b + 1024) * 4 > 80 << 20
-        # order-5 scale: VMEM only admits a sub-1024 (flat-layout) batch
-        b5 = recommended_batch(_L(52232))
-        assert b5 % 128 == 0 and b5 < 1024
-        assert 52232 * b5 * 4 <= 80 << 20
+        assert 7928 * b * 4 <= 96 << 20
+        assert 7928 * (b + 1024) * 4 > 96 << 20
+        # order-5 scale: VMEM only admits a sub-1024 (flat-layout) batch;
+        # 45,576 live slots (schedule='auto') -> 512, the measured optimum
+        b5 = recommended_batch(_L(45576))
+        assert b5 == 512
+        assert 45576 * b5 * 4 <= 96 << 20
         # tiny graphs clamp to max_batch, huge ones to one lane tile
         assert recommended_batch(_L(10)) == 4096
         assert recommended_batch(_L(10_000_000)) == 128
