@@ -27,7 +27,7 @@ from .optimize import (optimize, optimize_inplace,
 from .operation import (forward_ad, back_ad, node_derivative, all_parent,
                         build_all_leaf_derivative, forward_ad_root,
                         build_derivative_graph, linear_combination_number_with_graph)
-from .io import stringrep, show_tree, plot_tree
+from .io import stringrep, show_tree, plot_tree, plot_tree_graphical
 from .common_config import set_datatype, get_datatype
 from .feynman_graph import (FeynmanGraph, FeynmanProperties, DiagramType,
                             feynman_diagram, propagator, interaction, external_vertex,

@@ -79,3 +79,13 @@ class TestSourceExports:
         assert dot.startswith("digraph")
         assert dot.rstrip().endswith("}")
         assert "->" in dot
+
+    def test_plot_tree_graphical(self, tmp_path):
+        """Graphical tree rendering (reference io.jl:126-175 plot_tree via
+        ete3 -> matplotlib here): writes a non-trivial image file."""
+        from feynmandiagram_tpu.computational_graph import plot_tree_graphical
+
+        roots, *_ = _example()
+        out = tmp_path / "tree.png"
+        plot_tree_graphical(roots[0], str(out))
+        assert out.exists() and out.stat().st_size > 2000

@@ -513,17 +513,15 @@ class TestRecommendedBatch:
             def __init__(self, n):
                 self.num_slots = n
 
-        # order-4 scale (7,928 live slots, 96 MB budget) -> tile batch 2048,
-        # the measured optimum
+        # order-4 scale (7,928 live slots) -> tile batch 2048 (the measured
+        # optimum; 3072 = 97.4 MB is past the measured cliff)
         b = recommended_batch(_L(7928))
         assert b == 2048
-        assert 7928 * b * 4 <= 96 << 20
-        assert 7928 * (b + 1024) * 4 > 96 << 20
         # order-5 scale: VMEM only admits a sub-1024 (flat-layout) batch;
         # 45,576 live slots (schedule='auto') -> 512, the measured optimum
+        # (93.3 MB buffer)
         b5 = recommended_batch(_L(45576))
         assert b5 == 512
-        assert 45576 * b5 * 4 <= 96 << 20
         # tiny graphs clamp to max_batch, huge ones to one lane tile
         assert recommended_batch(_L(10)) == 4096
         assert recommended_batch(_L(10_000_000)) == 128
