@@ -122,6 +122,21 @@ class TestGreen:
         gc = m.g2_connected(0.8, 0.35, 0.6, 0.1, 0, 1, 1, 0)
         assert abs(gc) > 1e-3, gc
 
+    def test_hopping_expansion_first_order(self):
+        """SCE anchor (examples/strong_coupling_expansion.py): the dimer's
+        off-diagonal ED Green's function equals one hopping line joining
+        two exact atomic propagators, G_01 = t·g_atom², with residual
+        O(t³) — the identity a future SCE graph builder must reproduce."""
+        u, mu, beta = 2.0, 0.3, 1.2
+        atom = hubbard_atom_model(u, mu, beta)
+        g_at = atom.g_matsubara(2)
+        for t in (0.02, 0.04):
+            dimer = hubbard_dimer_model(t, u, mu, beta)
+            g01 = dimer.g_matsubara(2, 0, 1)
+            for n in range(2):
+                err = abs(g01[n] - t * g_at[n] ** 2)
+                assert err < 0.05 * t ** 3, (t, n, err)
+
     def test_dimer_u0_matches_two_level(self):
         """U=0 dimer: site-diagonal g(τ) is the equal mix of the bonding/
         antibonding free kernels (ε = ∓t − μ)."""
