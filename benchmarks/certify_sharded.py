@@ -61,7 +61,8 @@ def main():
     t_opt = time.time() - t0
     lm = leafmap_of(roots)
     t0 = time.time()
-    lowered = lower(roots, lm, sum_mode="fused", cse=True, reuse_slots=False)
+    from feynmandiagram_tpu.parallel.graph_shard import lower_sharded_best
+    lowered, sched = lower_sharded_best(roots, lm, n_dev)
     live = lower(roots, lm, sum_mode="fused", cse=True, reuse_slots=True)
     t_low = time.time() - t0
 
@@ -83,6 +84,7 @@ def main():
     st = sharded.stats
     print(json.dumps({
         "order": order, "n_dev": n_dev, "batch": batch,
+        "schedule": sched,
         "full_slots": int(st.full_slots),
         "live_slots_single_chip": int(live.num_slots),
         "local_slots_per_device": int(st.local_slots),

@@ -494,6 +494,32 @@ def _shard_map_compat(shard_map, device_fn, mesh, in_specs, out_specs):
     raise RuntimeError("shard_map signature not supported")
 
 
+def lower_sharded_best(roots, leafmap, n_dev: int, *, sum_mode: str = "fused",
+                       cse: bool = True, interleave: Optional[bool] = None,
+                       local_reuse: bool = True, **lower_kw):
+    """Lower ``roots`` for graph sharding with the level schedule that
+    minimizes the per-device footprint on an ``n_dev`` mesh.
+
+    Neither schedule dominates for the sharded planner either (measured,
+    PARITY round 5: ALAP wins orders 3-4, ASAP wins order 5 — 6,658 vs
+    5,781 local slots and 4% less halo at n=8), so the generate-once
+    workflow lowers under BOTH and keeps the plan with fewer local slots
+    (halo rows break ties).  Returns ``(lowered, schedule)``; pass the
+    lowering to ``make_graph_sharded_evaluator``/``make_graph_sharded_mc_step``.
+    """
+    from ..ops.lowering import lower
+
+    best = None
+    for sched in ("alap", "asap"):
+        low = lower(roots, leafmap, sum_mode=sum_mode, cse=cse,
+                    reuse_slots=False, schedule=sched, **lower_kw)
+        _, stats, *_ = _resolve_plan(low, n_dev, interleave, local_reuse)
+        key = (stats.local_slots, sum(stats.halo_rows_per_level))
+        if best is None or key < best[0]:
+            best = (key, low, sched)
+    return best[1], best[2]
+
+
 def make_graph_sharded_evaluator(lowered: LoweredGraph, mesh: Mesh, *,
                                  graph_axis: str = GRAPH_AXIS,
                                  batch_axis: Optional[str] = None,
