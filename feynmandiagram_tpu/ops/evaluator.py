@@ -194,7 +194,7 @@ def _eval_levels_tile(lowered: LoweredGraph, w: jnp.ndarray,
 
 
 def recommended_batch(lowered: LoweredGraph, *, dtype_bytes: int = 4,
-                      vmem_budget: int = 90 << 20, lane: int = 128,
+                      vmem_budget: int = 88 << 20, lane: int = 128,
                       max_batch: int = 4096) -> int:
     """Starting-point MC batch size for one chip: the largest batch keeping
     the weight buffer ``num_slots * batch * dtype_bytes`` inside a
@@ -206,11 +206,12 @@ def recommended_batch(lowered: LoweredGraph, *, dtype_bytes: int = 4,
     Measured on v5e (PARITY.md batch scan): throughput cliffs when the
     buffer outgrows VMEM (128 MB on v5e; the budget leaves room for bucket
     tables and leaf buffers).  The measured feasibility boundary sits
-    between 93.3 MB (order-5 batch 512: fast) and 97.4 MB (order-4 batch
-    3072: cliff), so the 90 MiB default reproduces both measured optima:
-    order 4 (7,928 slots) -> 2048 and order 5 (45,576 slots) -> 512.  The
-    optimum shifts with graph shape — sweep +-2x around this value on the
-    target chip.
+    between 92.3 MB (config-4 series at batch 3072: fast) and 94.3 MB
+    (order-4 vertex4 at batch 3072: cliff), so the 88 MiB default
+    reproduces every measured optimum: order-4 vertex4 (7,672 slots) ->
+    2048, order-5 (44,144 slots) -> 512, config-4 series (~7,0xx slots)
+    -> 3072.  The optimum shifts with graph shape — sweep +-2x around
+    this value on the target chip.
     """
     b = vmem_budget // (dtype_bytes * max(lowered.num_slots, 1))
     if b >= 1024:

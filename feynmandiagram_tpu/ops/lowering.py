@@ -225,6 +225,34 @@ def _choose_buckets(groups: Dict[int, List[int]], merge_threshold: int
     return items
 
 
+def _postorder_records(recs: List[_Rec], root_recs: List[int]
+                       ) -> Tuple[List[_Rec], List[int]]:
+    """Renumber the record table into postorder (children before parents).
+
+    ``_cse_records`` requires postorder; binarize/split append sub-records
+    AFTER their parents, so the table must be reordered before a second
+    CSE pass.  Unreachable records are dropped.  Children lists are
+    remapped in place on the shared ``_Rec`` objects."""
+    index_map: Dict[int, int] = {}
+    new_recs: List[_Rec] = []
+    for root in root_recs:
+        stack = [(root, False)]
+        while stack:
+            i, expanded = stack.pop()
+            if i in index_map:
+                continue
+            if expanded:
+                recs[i].children = [index_map[c] for c in recs[i].children]
+                index_map[i] = len(new_recs)
+                new_recs.append(recs[i])
+            else:
+                stack.append((i, True))
+                for c in recs[i].children:
+                    if c not in index_map:
+                        stack.append((c, False))
+    return new_recs, [index_map[r] for r in root_recs]
+
+
 def _cse_records(recs: List[_Rec], root_recs: List[int]) -> List[int]:
     """Value-preserving CSE over the postordered record table (in place).
 
@@ -361,9 +389,49 @@ def lower(roots: Sequence[Graph], leafmap: Optional[Dict[int, int]] = None,
     finally:
         sys.setrecursionlimit(old_limit)
 
-    # ---- structural CSE on the flat records (native-accelerated)
+    # ---- structural CSE on the flat records (native-accelerated).
+    # Between passes, canonicalize Prod records: sort children (Prod is
+    # commutative) and hoist the internal factor product onto every parent
+    # edge, so prods that compute proportional values become structurally
+    # identical and hash-cons together.  Measured on the order-4/5 parquet
+    # lowerings (round 5): ~21% of multi-operand product terms repeat an
+    # operand set under different Sum parents with different coefficient
+    # splits — invisible to factor-sensitive hashing.  The loop reruns CSE
+    # until no prod changes (children indices are canonical only after the
+    # previous merge pass).
     if cse:
         root_recs = _cse_records(recs, root_recs)
+        for _ in range(4):
+            root_set0 = set(root_recs)
+            scale: Dict[int, float] = {}
+            changed = False
+            for i, r in enumerate(recs):
+                if r.op != "prod" or i in root_set0:
+                    continue
+                s = 1.0
+                for f in r.factors:
+                    s *= f
+                new_children = sorted(r.children)
+                if new_children != r.children or s != 1.0:
+                    changed = True
+                    r.children = new_children
+                    r.factors = [1.0] * len(r.children)
+                    if s != 1.0:
+                        scale[i] = s
+            if scale:
+                for r in recs:
+                    if r.op == "power":
+                        c = r.children[0]
+                        if c in scale:
+                            # power applies BEFORE the edge factor:
+                            # (v/s)^n * (f*s^n) == v^n * f
+                            r.factors[0] *= scale[c] ** r.power
+                    else:
+                        r.factors = [f * scale.get(c, 1.0)
+                                     for c, f in zip(r.children, r.factors)]
+            if not changed:
+                break
+            root_recs = _cse_records(recs, root_recs)
 
     # ---- binarize wide prods
     def binarize(r_idx: int) -> None:
@@ -412,6 +480,19 @@ def lower(roots: Sequence[Graph], leafmap: Optional[Dict[int, int]] = None,
 
         for i in range(len(recs)):
             split_sum(i)
+
+    # ---- second CSE pass over the binarize/split products (round 5):
+    # binarization pairs children in (sorted, post-canonicalization) order,
+    # so wide prods sharing child prefixes spawn structurally identical
+    # sub-prods — created AFTER the main CSE pass and invisible to it.
+    # The table must be re-postordered first (binarize appends children
+    # after their parents).  Measured on order-4 vertex4: 4,166 repeated
+    # operand pairs exist at this point.
+    if cse:
+        recs2, root_recs = _postorder_records(recs, root_recs)
+        recs.clear()
+        recs.extend(recs2)
+        root_recs = _cse_records(recs, root_recs)
 
     # a constant-one slot pads merged Prod buckets and fused-bucket operands
     # (multiplicative identity)

@@ -513,15 +513,17 @@ class TestRecommendedBatch:
             def __init__(self, n):
                 self.num_slots = n
 
-        # order-4 scale (7,928 live slots) -> tile batch 2048 (the measured
-        # optimum; 3072 = 97.4 MB is past the measured cliff)
-        b = recommended_batch(_L(7928))
+        # order-4 scale (7,672 live slots, round-5 second CSE pass) -> tile
+        # batch 2048 (the measured optimum; 3072 = 94.3 MB is past the
+        # measured cliff)
+        b = recommended_batch(_L(7672))
         assert b == 2048
         # order-5 scale: VMEM only admits a sub-1024 (flat-layout) batch;
-        # 45,576 live slots (schedule='auto') -> 512, the measured optimum
-        # (93.3 MB buffer)
-        b5 = recommended_batch(_L(45576))
+        # 44,144 live slots -> 512, the measured optimum (90.4 MB buffer)
+        b5 = recommended_batch(_L(44144))
         assert b5 == 512
+        # config-4 series scale (~7,0xx slots): 3072 measured 1.33x faster
+        assert recommended_batch(_L(7000)) == 3072
         # tiny graphs clamp to max_batch, huge ones to one lane tile
         assert recommended_batch(_L(10)) == 4096
         assert recommended_batch(_L(10_000_000)) == 128
