@@ -103,6 +103,30 @@ class TestCountertermEquivalence:
                 got = eval_graph(tvec[i].coeffs[key])
                 assert got == pytest.approx(expected), (order, i)
 
+    def test_sigma4_counterterms(self):
+        """The taylor.jl:97-113 contract at base order 4 — the base order
+        of BASELINE config 4 — with mixed [2,2] counterterm corners
+        (round 5).  The reference test suite stops at order 2; orders 3
+        and 4 here exercise progressively deeper truncated-product
+        convolutions against independently tabulated diagram files."""
+        orders = [(4, 0, 0), (4, 1, 0), (4, 0, 1), (4, 1, 1), (4, 2, 0),
+                  (4, 0, 2)]
+        dict_g = {}
+        for o in orders:
+            dict_g[o] = diagsGV("sigma", *o)[0]
+
+        diags = dict_g[(4, 0, 0)]
+        set_variables("x y", orders=[2, 2])
+        propagator_var = ([True, False], [False, True])  # fermi: x, bose: y
+        tvec, _ = taylorexpansion_feynman(diags, propagator_var)
+
+        for order, graphs in dict_g.items():
+            key = (order[1], order[2])  # (GOrder, VerOrder)
+            for i in range(min(2, len(graphs))):
+                expected = eval_graph(graphs[i])
+                got = eval_graph(tvec[i].coeffs[key])
+                assert got == pytest.approx(expected), (order, i)
+
     def test_polar3_counterterms(self):
         """The same contract on the POLARIZATION table family at base
         order 3 (a different observable than the sigma files the reference
