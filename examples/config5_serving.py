@@ -49,12 +49,23 @@ def generate(order: int, path: str) -> None:
 
 def serve(path: str, batch_per_device: int = 8, iters: int = 4) -> None:
     import jax
+
+    # a real pod slice has >= 8 default devices; anywhere else (incl. this
+    # container, where a plugin may force a 1-chip platform regardless of
+    # JAX_PLATFORMS) build the mesh from the virtual 8-device CPU backend
+    # explicitly — meshes pin their own devices, no platform switch needed
+    devs = jax.devices()
+    if len(devs) < 8:
+        devs = jax.devices("cpu")
+        assert len(devs) >= 8, (
+            "need 8 devices; ensure XLA_FLAGS includes "
+            "--xla_force_host_platform_device_count=8")
     from jax.sharding import Mesh
     from feynmandiagram_tpu.backends.compile import load_artifact
     from feynmandiagram_tpu.parallel import make_graph_sharded_mc_step
 
     lowered, tables = load_artifact(path)
-    devices = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    devices = np.asarray(devs[:8]).reshape(4, 2)
     mesh = Mesh(devices, ("graph", "batch"))
     step = make_graph_sharded_mc_step(lowered, tables, mesh,
                                       beta=0.5, kF=1.919, lam=1.0)
