@@ -28,12 +28,16 @@ if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", "")
 import numpy as np
 
 
-def generate(order: int, path: str) -> None:
+def generate(order: int, path: str, n_graph: int = 4) -> None:
     from feynmandiagram_tpu.frontends import ChargeCharge, Instant, NoHartree
     from feynmandiagram_tpu.frontends.parquet import (DiagPara, Interaction,
                                                       Ver4Diag, vertex4)
     from feynmandiagram_tpu.computational_graph import optimize_inplace
-    from feynmandiagram_tpu.backends.compile import export_artifact
+    from feynmandiagram_tpu.backends.compile import (leafmap_of,
+                                                     leaf_graphs_of,
+                                                     save_lowered)
+    from feynmandiagram_tpu.ops.leaf_eval import leaf_tables_from_lowered
+    from feynmandiagram_tpu.parallel.graph_shard import lower_sharded_best
 
     t0 = time.time()
     para = DiagPara(type=Ver4Diag, innerLoopNum=order, hasTau=True,
@@ -41,9 +45,15 @@ def generate(order: int, path: str) -> None:
                     interaction=(Interaction(ChargeCharge, Instant),))
     roots = [row["diagram"] for row in vertex4(para)]
     optimize_inplace(roots, level=1)
-    export_artifact(path, roots, max_loop_num=para.totalLoopNum,
-                    sum_mode="fused", cse=True, reuse_slots=False)
-    print(f"[generate] order {order}: {len(roots)} roots -> {path} "
+    # generate-once: lower under BOTH level schedules and keep the plan
+    # with the smaller per-device footprint on the serving graph axis
+    lowered, sched = lower_sharded_best(roots, leafmap_of(roots), n_graph,
+                                        cse=True)
+    tables = leaf_tables_from_lowered(lowered, leaf_graphs_of(roots),
+                                      para.totalLoopNum)
+    save_lowered(path, lowered, tables)
+    print(f"[generate] order {order}: {len(roots)} roots "
+          f"(schedule={sched}) -> {path} "
           f"({os.path.getsize(path)/2**20:.1f} MB) in {time.time()-t0:.1f} s")
 
 
