@@ -321,6 +321,33 @@ class TestTileLayout:
                                          layout="tile")(vals))
         np.testing.assert_allclose(tile, flat, rtol=2e-4, atol=1e-6)
 
+    @pytest.mark.parametrize("chunk", [64, 200, 1024])
+    def test_chunk_rows_equality(self, chunk):
+        """The bucket-chunk size (a pure performance knob, default 256
+        tile / 512 flat) never changes results."""
+        import jax.numpy as jnp
+        from feynmandiagram_tpu.frontends import ChargeCharge, Instant, NoHartree
+        from feynmandiagram_tpu.frontends.parquet import (DiagPara, Interaction,
+                                                          Ver4Diag, vertex4)
+        from feynmandiagram_tpu.computational_graph import optimize_inplace
+        from feynmandiagram_tpu.backends.compile import leafmap_of
+
+        para = DiagPara(type=Ver4Diag, innerLoopNum=2, hasTau=True,
+                        filter=(NoHartree,),
+                        interaction=(Interaction(ChargeCharge, Instant),))
+        roots = [r["diagram"] for r in vertex4(para)]
+        optimize_inplace(roots, level=1)
+        lowered = lower(roots, leafmap_of(roots), sum_mode="fused", cse=True)
+        nl = lowered.num_leaves - len(lowered.const_slots)
+        vals = np.random.default_rng(9).uniform(
+            0.5, 1.5, (nl, 256)).astype(np.float32)
+        ref = np.asarray(make_evaluator(lowered, dtype=jnp.float32,
+                                        layout="tile")(vals))
+        got = np.asarray(make_evaluator(lowered, dtype=jnp.float32,
+                                        layout="tile",
+                                        chunk_rows=chunk)(vals))
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-7)
+
     def test_tile_rejects_bad_dtype_and_batch(self):
         """An explicit layout='tile' request fails loudly (no silent flat
         fallback) for non-4-byte dtypes and non-256-multiple batches
