@@ -51,6 +51,51 @@ class TestLoweringEquivalence:
         got = evaluate_graphs(roots, np.asarray(vals), leafmap)
         np.testing.assert_allclose(got[:, 0], expected, rtol=1e-10, atol=1e-9)
 
+    @pytest.mark.parametrize("seed", [11, 12, 13, 14, 15])
+    def test_random_dag_cse_canonicalization(self, seed):
+        """Round-5 hardening: random DAGs with PROPORTIONAL duplicate
+        products (same operand multiset, different internal-factor /
+        parent-edge coefficient splits, shuffled child order) plus wide
+        prods and powers-of-prods — the shapes the canonicalize+second-CSE
+        pass rewrites — must evaluate f64-identically with cse on/off."""
+        rng = random.Random(seed)
+        leaves = [Graph([], properties=("leaf", i)) for i in range(5)]
+
+        def prop_dup_prod():
+            ops = [rng.choice(leaves) for _ in range(rng.randint(2, 6))]
+            ops = list({id(o): o for o in ops}.values())
+            shuffled = list(ops)
+            rng.shuffle(shuffled)
+            f = rng.choice([0.5, 2.0, -3.0])
+            a = Graph(ops, subgraph_factors=[f] + [1.0] * (len(ops) - 1),
+                      operator=PROD)
+            b = Graph(shuffled,
+                      subgraph_factors=[1.0] * (len(shuffled) - 1) + [-f],
+                      operator=PROD)
+            return a, b
+
+        terms, facs = [], []
+        for _ in range(6):
+            a, b = prop_dup_prod()
+            terms += [a, b]
+            facs += [rng.choice([1.0, 2.0]), rng.choice([1.0, -0.5])]
+            if rng.random() < 0.4:
+                terms.append(Graph([a], operator=Power(rng.randint(2, 3))))
+                facs.append(rng.choice([1.0, 3.0]))
+        terms.append(random_dag(rng, leaves, depth=4))
+        facs.append(1.0)
+        roots = [Graph(terms, subgraph_factors=facs, operator=SUM),
+                 random_dag(rng, leaves, depth=4)]
+        leafmap = {leaf.id: i for i, leaf in enumerate(leaves)}
+        vals = [rng.uniform(0.5, 1.5) for _ in range(5)]
+        expected = [eval_graph(r, leafmap, vals) for r in roots]
+        for cse in (False, True):
+            low = lower(roots, leafmap, sum_mode="fused", cse=cse)
+            got = np.asarray(make_evaluator(low, dtype=np.float64)(
+                np.asarray(vals)))
+            np.testing.assert_allclose(got[:, 0], expected, rtol=1e-11,
+                                       atol=1e-12), cse
+
     @pytest.mark.parametrize("seed", [5, 6])
     def test_batched(self, seed):
         rng = random.Random(seed)
