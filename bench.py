@@ -68,32 +68,16 @@ def main():
     fused = os.environ.get("FDTPU_BENCH_FUSED", "1") == "1"
     iters = int(os.environ.get("FDTPU_BENCH_ITERS", 200 if fused else 50))
     if fused:
-        # the production MC shape: the whole sampling+evaluation loop runs on
-        # device under one jit; per-iteration PRNG folding prevents folding
-        import jax.numpy as jnp
+        # the production MC shape (shared protocol: benchmarks/_mc_bench.py)
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+        from _mc_bench import mc_samples_per_s
 
-        num_tau = para.totalTauNum
-
-        @jax.jit
-        def mc_chunk(key):
-            def body(i, acc):
-                k1, k2 = jax.random.split(jax.random.fold_in(key, i))
-                vk = jax.random.normal(k1, (3, para.totalLoopNum, batch), dtype)
-                vt = jax.random.uniform(k2, (num_tau, batch), dtype) * 0.5
-                roots = compiled.fn(vk, vt)
-                return acc + jnp.sum(roots, axis=1)
-
-            return jax.lax.fori_loop(0, iters, body, jnp.zeros(
-                (len(compiled.lowered.root_slots),), dtype))
-
-        key = jax.random.PRNGKey(0)
-        jax.block_until_ready(mc_chunk(key))  # compile + warmup
-        times = []
-        for r in range(1, reps + 1):
-            t0 = time.perf_counter()
-            jax.block_until_ready(mc_chunk(jax.random.PRNGKey(r)))
-            times.append(time.perf_counter() - t0)
-        dt = sorted(times)[len(times) // 2]
+        sps = mc_samples_per_s(compiled.fn, n_loop=para.totalLoopNum,
+                               num_tau=para.totalTauNum, batch=batch,
+                               n_roots=len(compiled.lowered.root_slots),
+                               dtype=dtype, iters=iters, reps=reps, beta=0.5)
+        dt = batch * iters / sps
     else:
         out = compiled(varK, varT)
         jax.block_until_ready(out)  # compile + warmup
@@ -111,12 +95,14 @@ def main():
     samples_per_s = batch * iters / dt
     edges_per_s = compiled.lowered.num_edges * samples_per_s
     # roofline self-report (VERDICT r4 #6): every edge is one gathered row
-    # operand of `batch` f32 lanes, so gathered-row traffic = edges_per_s *
-    # 4 B.  The denominator is the measured speed-of-light of the tile-row
-    # gather engine on this chip (3.2 TB/s contiguous-output per-term
-    # gathers, PARITY.md profile table; traced, order-4 shapes).  The pass
-    # also spends ~29% on non-gather work, so ~0.7 is the practical ceiling.
-    gathered_tb_s = edges_per_s * 4 / 1e12
+    # operand of `batch` lanes, so gathered-row traffic = edges_per_s *
+    # itemsize.  The ceiling fraction uses the measured speed-of-light of
+    # the tile-row gather engine on this chip (3.2 TB/s contiguous-output
+    # per-term gathers, PARITY.md profile table; traced, order-4 shapes) —
+    # a TPU-only number, omitted on other platforms.  The pass also spends
+    # ~29% on non-gather work, so ~0.7 is the practical ceiling.
+    gathered_tb_s = edges_per_s * np.dtype(
+        "float32" if on_tpu else "float64").itemsize / 1e12
     result = {
         "metric": f"mc_samples_per_s_order{order}_ver4",
         "value": round(samples_per_s, 1),
@@ -125,8 +111,8 @@ def main():
         "extra": {
             "edges_per_s": round(edges_per_s, 0),
             "gathered_row_tb_s": round(gathered_tb_s, 3),
-            "frac_of_measured_gather_ceiling_3p2tbs": round(
-                gathered_tb_s / 3.2, 3),
+            **({"frac_of_measured_gather_ceiling_3p2tbs": round(
+                gathered_tb_s / 3.2, 3)} if on_tpu else {}),
             "batch": batch,
             "iters": iters,
             "num_nodes": compiled.lowered.num_slots,

@@ -61,26 +61,12 @@ def main():
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 200
     num_tau = para.totalTauNum
 
-    @jax.jit
-    def mc_chunk(key):
-        def body(i, acc):
-            k1, k2 = jax.random.split(jax.random.fold_in(key, i))
-            vk = jax.random.normal(k1, (3, para.totalLoopNum, batch), dtype)
-            vt = jax.random.uniform(k2, (num_tau, batch), dtype) * 0.5
-            r = compiled.fn(vk, vt)
-            return acc + jnp.sum(r, axis=1)
+    from _mc_bench import mc_samples_per_s
 
-        return jax.lax.fori_loop(0, iters, body,
-                                 jnp.zeros((len(low.root_slots),), dtype))
-
-    jax.block_until_ready(mc_chunk(jax.random.PRNGKey(0)))
-    times = []
-    for r in range(1, 4):
-        t0 = time.perf_counter()
-        jax.block_until_ready(mc_chunk(jax.random.PRNGKey(r)))
-        times.append(time.perf_counter() - t0)
-    dt = sorted(times)[len(times) // 2]
-    sps = batch * iters / dt
+    sps = mc_samples_per_s(compiled.fn, n_loop=para.totalLoopNum,
+                           num_tau=num_tau, batch=batch,
+                           n_roots=len(low.root_slots), dtype=dtype,
+                           iters=iters, beta=0.5)
     print(json.dumps({
         "metric": "mc_samples_per_s_config4_sigma_ct22",
         "value": round(sps, 1),

@@ -177,27 +177,14 @@ def main():
     num_tau = para.totalTauNum
 
     def bench(graph_fn, label):
-        @jax.jit
-        def mc_chunk(key):
-            def body(i, acc):
-                k1, k2 = jax.random.split(jax.random.fold_in(key, i))
-                vk = jax.random.normal(k1, (3, para.totalLoopNum, batch), dtype)
-                vt = jax.random.uniform(k2, (num_tau, batch), dtype) * 0.5
-                r = graph_fn(leaf_fn(vk, vt))
-                return acc + jnp.sum(r, axis=1)
+        from _mc_bench import mc_samples_per_s
 
-            return jax.lax.fori_loop(0, iters, body, jnp.zeros(
-                (len(low.root_slots),), dtype))
-
-        jax.block_until_ready(mc_chunk(jax.random.PRNGKey(0)))
-        times = []
-        for r in range(1, 4):
-            t0 = time.perf_counter()
-            jax.block_until_ready(mc_chunk(jax.random.PRNGKey(r)))
-            times.append(time.perf_counter() - t0)
-        dt = sorted(times)[1]
-        print(f"{label}: {batch * iters / dt / 1e3:.1f}k samples/s")
-        return batch * iters / dt
+        sps = mc_samples_per_s(lambda vk, vt: graph_fn(leaf_fn(vk, vt)),
+                               n_loop=para.totalLoopNum, num_tau=num_tau,
+                               batch=batch, n_roots=len(low.root_slots),
+                               dtype=dtype, iters=iters, beta=0.5)
+        print(f"{label}: {sps / 1e3:.1f}k samples/s")
+        return sps
 
     from feynmandiagram_tpu.ops.evaluator import make_evaluator
     base_fn = make_evaluator(low, dtype=dtype, jit=False, layout="tile")

@@ -61,14 +61,12 @@ def plot_tree_graphical(g, path=None, maxdepth: int = 6, dpi: int = 120):
     edges = []           # ((x0, y0), (x1, y1), factor)
     next_x = [0.0]
     # DejaVu-safe operator symbols (the fancy ⨁/ⓧ glyphs are missing)
-    mpl_sym = {"sum": "+", "prod": "×", "unitary": "1"}
+    mpl_sym = {"sum": "+", "prod": "×"}
 
     def place(node, depth):
         label = (mpl_sym.get(node.operator.kind,
                              f"^{getattr(node.operator, 'n', '?')}")
                  if node.subgraphs else str(node.id))
-        if node.properties is not None and not node.subgraphs:
-            label = f"{node.id}"
         if not node.subgraphs or depth >= maxdepth:
             x = next_x[0]
             next_x[0] += 1.0

@@ -670,13 +670,15 @@ def lower(roots: Sequence[Graph], leafmap: Optional[Dict[int, int]] = None,
         pool = _SlotPool(n_leaf_slots)
         free_events: Dict[int, List[int]] = {}
         maxd = max(depth_arr) if recs else 0
+        by_depth: List[List[int]] = [[] for _ in range(maxd + 1)]
+        for i, r in enumerate(recs):
+            if i not in inline_set and r.op in ("sum", "prod", "power"):
+                by_depth[depth_arr[i]].append(i)
         for lev in range(1, maxd + 1):
             for fl in list(free_events):
                 if fl < lev:
                     pool.free(free_events.pop(fl))
-            nodes = [i for i, r in enumerate(recs)
-                     if depth_arr[i] == lev and i not in inline_set
-                     and r.op in ("sum", "prod", "power")]
+            nodes = by_depth[lev]
             pows_by_n: Dict[int, List[int]] = {}
             for i in nodes:
                 if recs[i].op == "power":
@@ -772,15 +774,18 @@ def lower(roots: Sequence[Graph], leafmap: Optional[Dict[int, int]] = None,
                 free_events.setdefault(lev, []).append(start + k)
         return start
 
+    nodes_by_depth: List[List[int]] = [[] for _ in range(max_depth + 1)]
+    for i, r in enumerate(recs):
+        if i not in inline_set and r.op in ("sum", "prod", "power"):
+            nodes_by_depth[depth[i]].append(i)
+
     for lev in range(1, max_depth + 1):
         if reuse_slots:
             # slots last read before this level are free for its outputs
             for fl in list(free_events):
                 if fl < lev:
                     pool.free(free_events.pop(fl))
-        nodes = [i for i, r in enumerate(recs)
-                 if depth[i] == lev and i not in inline_set
-                 and r.op in ("sum", "prod", "power")]
+        nodes = nodes_by_depth[lev]
         sums = [i for i in nodes if recs[i].op == "sum"]
         prods_by_arity: Dict[int, List[int]] = {}
         pows_by_n: Dict[int, List[int]] = {}

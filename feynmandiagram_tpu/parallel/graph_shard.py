@@ -635,7 +635,9 @@ def make_graph_sharded_mc_step(lowered: LoweredGraph, tables, mesh: Mesh, *,
 
     from functools import lru_cache
 
-    @lru_cache(maxsize=None)
+    # bounded: each entry pins a full compiled sharded executable; a shape
+    # sweep should not accumulate them indefinitely
+    @lru_cache(maxsize=8)
     def _build(batch_per_device: int, iters: int):
         """Construct + jit the sharded program once per (batch, iters) shape
         (ADVICE r4 #2: the un-hoisted closure retraced and recompiled the
