@@ -44,10 +44,12 @@ def main():
     sum_mode = os.environ.get("FDTPU_BENCH_SUM_MODE", "fused")
     merge_threshold = int(os.environ.get("FDTPU_BENCH_MERGE", 0))
     layout = os.environ.get("FDTPU_BENCH_LAYOUT", "auto")
+    chunk = os.environ.get("FDTPU_BENCH_CHUNK")
     compiled = compile_evaluator(roots, max_loop_num=para.totalLoopNum,
                                  beta=0.5, kF=1.919, lam=1.0, dtype=dtype,
                                  sum_mode=sum_mode, merge_threshold=merge_threshold,
-                                 layout=layout)
+                                 layout=layout,
+                                 chunk_rows=int(chunk) if chunk else None)
 
     # batch 2048 = 16 sublane-tiles x 128 lanes: the tile-row layout
     # ([num_slots, 16, 128] weight buffer, 65 MB at order 4 — VMEM-resident)

@@ -62,7 +62,8 @@ def compile_evaluator(roots: Sequence[Graph], *, max_loop_num: int,
                       merge_threshold: int = 0,
                       acc_dtype=None, cse: bool = True,
                       compensated: bool = False,
-                      layout: str = "auto") -> CompiledEvaluator:
+                      layout: str = "auto",
+                      chunk_rows=None) -> CompiledEvaluator:
     """Lower ``roots`` and build the fused batched evaluator.
 
     - ``varK``: [dim, max_loop_num, batch] loop-momentum samples
@@ -92,7 +93,7 @@ def compile_evaluator(roots: Sequence[Graph], *, max_loop_num: int,
                                           else "flat"))
     graph_fn = make_evaluator(lowered, dtype=dtype, jit=False,
                               acc_dtype=acc_dtype, compensated=compensated,
-                              layout=layout)
+                              layout=layout, chunk_rows=chunk_rows)
 
     def fn(varK, varT):
         leaf_values = leaf_fn(varK, varT)
