@@ -302,6 +302,38 @@ class TestGraphSharding:
         ref = acc / (n_batch * iters * bpd)
         np.testing.assert_allclose(means, ref, rtol=1e-10, atol=1e-12)
 
+    def test_lower_sharded_best_picks_min_footprint(self):
+        """lower_sharded_best must return the schedule whose sharded plan
+        has the fewest per-device slots (halo rows break ties) — the
+        generate-once selection certify_sharded.py and the config-5
+        example rely on (round 5; ALAP wins orders 3-4, ASAP wins 5-6)."""
+        from feynmandiagram_tpu.ops import lower
+        from feynmandiagram_tpu.parallel.graph_shard import (
+            _resolve_plan, lower_sharded_best)
+        from feynmandiagram_tpu.backends.compile import leafmap_of
+        from feynmandiagram_tpu.frontends import ChargeCharge, Instant, NoHartree
+        from feynmandiagram_tpu.frontends.parquet import (DiagPara, Interaction,
+                                                          Ver4Diag, vertex4)
+        from feynmandiagram_tpu.computational_graph import optimize_inplace
+
+        para = DiagPara(type=Ver4Diag, innerLoopNum=3, hasTau=True,
+                        filter=(NoHartree,),
+                        interaction=(Interaction(ChargeCharge, Instant),))
+        roots = [r["diagram"] for r in vertex4(para)]
+        optimize_inplace(roots, level=1)
+        lm = leafmap_of(roots)
+        stats = {}
+        for sched in ("alap", "asap"):
+            low = lower(roots, lm, sum_mode="fused", cse=True,
+                        reuse_slots=False, schedule=sched)
+            _, st, *_ = _resolve_plan(low, 8, None, True)
+            stats[sched] = (st.local_slots, sum(st.halo_rows_per_level))
+        best_low, best_sched = lower_sharded_best(roots, lm, 8)
+        assert stats[best_sched] == min(stats.values())
+        _, st_best, *_ = _resolve_plan(best_low, 8, None, True)
+        assert (st_best.local_slots,
+                sum(st_best.halo_rows_per_level)) == stats[best_sched]
+
     def test_graph_sharded_mc_step_2d_order5(self):
         """BASELINE config 5 SERVING at its named scale (VERDICT r4 #1b):
         the graph-sharded MC step — on-device sampling + leaf kernels +
